@@ -1,0 +1,81 @@
+"""Run-time configuration.
+
+The reference exposes its knobs as compile-time macros only (WARMUP/REPEAT at
+spgemm.cu:712-718, tileSize/ValueType constants at spgemm.cu:727-728, the
+NSPARSE dispatch threshold at spgemm.cu:1142).  Here they are a first-class
+config object, plus the TPU-specific knobs the reference has no analog for
+(bucket growth for static-shape padding, matmul chunk size, mesh shape).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+def round_up_pow2(n: int) -> int:
+    """Smallest power of two >= n (>= 1)."""
+    n = max(1, int(n))
+    return 1 << (n - 1).bit_length()
+
+
+def round_up_bucket(n: int, granularity: int = 1) -> int:
+    """Bucket a data-dependent size so XLA sees few distinct static shapes.
+
+    Power-of-two buckets bound the number of compiled variants per phase at
+    log2(max_size) while wasting at most 2x memory.  This is the TPU-native
+    replacement for the reference's exact `cudaMallocAsync` after each count
+    pass (spgemm.cu:1246-1295): we still count exactly, but allocate the
+    enclosing bucket so recompilation does not churn.
+    """
+    return max(granularity, round_up_pow2(max(1, int(n))))
+
+
+@dataclasses.dataclass(frozen=True)
+class SpGEMMConfig:
+    """Configuration for the tiled SpGEMM pipeline."""
+
+    # Tile edge. The bitmask format packs one tile row per integer, so this
+    # is fixed at 16 in v1 (mirrors the reference's tileSize, spgemm.cu:727).
+    tile: int = 16
+
+    # Value dtype for the numeric phase. float32 is TPU-native; float64
+    # requires jax_enable_x64 and is software-emulated on TPU (use for
+    # reference-parity checks on CPU).
+    dtype: jnp.dtype = jnp.float32
+
+    # Accumulation dtype for the batched 16x16 matmuls (preferred_element_type).
+    acc_dtype: Optional[jnp.dtype] = None
+
+    # Matmul precision for the numeric phase. On TPU the MXU multiplies f32
+    # as bf16 passes by default; "highest" (3-pass) keeps full f32 operand
+    # precision, which the value-parity target requires. Use "default" to
+    # trade precision for MXU throughput.
+    precision: str = "highest"
+
+    # Pairs processed per matmul chunk in the numeric phase. Bounds peak
+    # memory for the (chunk, 16, 16) product tensor: 16384 pairs -> 16 MiB f32.
+    numeric_chunk: int = 1 << 14
+
+    # Use the Pallas numeric kernel when available (TPU); fall back to the
+    # XLA batched-matmul path otherwise.
+    use_pallas: bool = True
+
+    # Benchmark protocol (reference defaults: WARMUP=1, REPEAT=10,
+    # spgemm.cu:712-718 / Makefile:34).
+    warmup: int = 1
+    repeat: int = 10
+    # Report the min across repeats instead of the mean (reference -DFASTEST,
+    # spgemm.cu:1359).
+    fastest: bool = False
+
+    def acc(self) -> jnp.dtype:
+        return self.acc_dtype if self.acc_dtype is not None else self.dtype
+
+    def with_(self, **kw) -> "SpGEMMConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = SpGEMMConfig()

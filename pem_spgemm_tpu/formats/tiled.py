@@ -1,0 +1,107 @@
+"""The Tile16 bitmask-tiled sparse format — the framework's central structure.
+
+TPU-native re-design of the reference's tiled-CSR bundle (SURVEY.md section
+2.1; built at spgemm.cu:840-1062).  Logical content is identical — per-tile
+16-bit row bitmasks, tile-major CSR-ordered values, packed intra-tile
+coordinates, a CSR over tiles — but the layout is flat int32/float arrays
+(XLA-friendly; no uint8/uint16 packing games) and every data-dependent
+dimension is padded to a bucketed capacity so jitted phases see static shapes.
+
+Differences from the reference, by design:
+  * no per-tile uint8 rowPtr array (reference tiles_rowPtr, spgemm.cu:205-209)
+    — it is recomputed from mask popcounts in O(16) vector ops when needed;
+  * no high-level CSC of B (reference spgemm.cu:1033-1062) — the symbolic
+    phase here joins A's tile-columns against B's tile-row CSR directly, so
+    the CSC + tileOffsets permutation machinery is unnecessary;
+  * an explicit per-element tile index (elem_tile) kept from the conversion
+    sort, which replaces pointer-chasing when densifying tiles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TiledMatrix:
+    """A sparse matrix in Tile16 form. See module docstring.
+
+    Array fields are JAX arrays; ``ntiles``/``nnz``/``shape`` are static
+    Python metadata (pytree aux data). Arrays are padded:
+    tile arrays to ``tile_cap`` (= len(tile_row)); element arrays are exact
+    length nnz (input size is static per matrix).
+    """
+
+    # --- per-tile arrays, padded to tile_cap ---
+    tile_row: jax.Array   # (cap,) i32; padded entries = n_tile_rows sentinel
+    tile_col: jax.Array   # (cap,) i32; padded entries = n_tile_cols sentinel
+    ptr: jax.Array        # (cap+1,) i32 exclusive scan of per-tile nnz
+    masks: jax.Array      # (cap, 16) i32; row bitmaps, bit j = col j occupied
+
+    # --- per-element arrays, tile-major CSR order, length nnz ---
+    vals: jax.Array       # (nnz,) value dtype
+    rowcol: jax.Array     # (nnz,) i32 packed (row<<4)|col intra-tile coords
+    elem_tile: jax.Array  # (nnz,) i32 owning tile index
+
+    # --- high-level CSR over tiles ---
+    tile_rowptr: jax.Array  # (n_tile_rows+1,) i32
+
+    # --- optional: per-tile bit-transposed masks (built for B operands) ---
+    tmasks: Optional[jax.Array]  # (cap, 16) i32; column bitmaps, bit i = row i
+
+    # --- static metadata ---
+    shape: tuple = dataclasses.field(metadata=dict(static=True))
+    ntiles: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def nnz(self) -> int:
+        return int(self.vals.shape[0])
+
+    @property
+    def tile_cap(self) -> int:
+        return int(self.tile_row.shape[0])
+
+    @property
+    def n_tile_rows(self) -> int:
+        return cdiv(self.shape[0], 16)
+
+    @property
+    def n_tile_cols(self) -> int:
+        return cdiv(self.shape[1], 16)
+
+    def block_until_ready(self) -> "TiledMatrix":
+        jax.block_until_ready(self.masks)
+        return self
+
+    # ---- host-side reconstruction (tests / debugging) ----
+
+    def to_coo_numpy(self):
+        """Round-trip back to global COO triplets (host numpy)."""
+        et = np.asarray(self.elem_tile)
+        rc = np.asarray(self.rowcol)
+        tr = np.asarray(self.tile_row)[et]
+        tc = np.asarray(self.tile_col)[et]
+        rows = tr * 16 + (rc >> 4)
+        cols = tc * 16 + (rc & 15)
+        return rows.astype(np.int64), cols.astype(np.int64), np.asarray(self.vals)
+
+    def intra_rowptr(self) -> jax.Array:
+        """Per-tile intra-tile CSR row pointers, (cap, 17) i32.
+
+        Recomputed from mask popcounts (replaces the reference's stored
+        tiles_rowPtr, spgemm.cu:205-209).
+        """
+        pc = jax.lax.population_count(self.masks)
+        return jnp.concatenate(
+            [jnp.zeros((self.masks.shape[0], 1), jnp.int32),
+             jnp.cumsum(pc, axis=1, dtype=jnp.int32)], axis=1)

@@ -1,0 +1,77 @@
+"""Numeric phase: per-C-tile accumulation — the FLOP-carrying step.
+
+TPU-native re-design of reference step 3 (pem_spgemm_step3_accumulate,
+spgemm.cu:593-661).  The reference assigns one warp per C tile and, for each
+C nonzero, gathers the matching A/B values via popcount prefixes of the
+bitmasks and FMAs serially over pairs.  That shape (scalar gather-FMA) is the
+wrong fit for a TPU; instead:
+
+  * operand tiles are densified once per pipeline run into (cap, 16, 16)
+    value tensors (a single scatter — the tile-major element order makes the
+    scatter index just elem_tile*256 + rowcol);
+  * each pair contributes a dense 16x16 matmul A_tile @ B_tile, batched over
+    a chunk of pairs on the MXU;
+  * contributions are scatter-added into dense C tiles.  Pairs of one C tile
+    are contiguous (symbolic sort), and each (pair, C tile) pair is touched
+    by exactly one chunk position — exclusive ownership by construction, the
+    same atomic-freedom argument as the reference's warp-per-tile design;
+  * compressed C values are extracted by one gather using the structure from
+    the cstruct phase.
+
+Zero-padding makes every padded lane a no-op: padded pairs target segment
+c_cap (dropped) and padded tiles are all-zero.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+@partial(jax.jit, static_argnames=("tile_cap",))
+def densify_tiles(vals, rowcol, elem_tile, tile_cap):
+    """Scatter tile-major element values into dense (tile_cap, 16, 16)."""
+    pos = elem_tile * 256 + rowcol
+    out = jnp.zeros((tile_cap * 256,), vals.dtype).at[pos].set(
+        vals, mode="drop")
+    return out.reshape(tile_cap, 16, 16)
+
+
+@partial(jax.jit, static_argnames=("c_cap", "chunk", "acc_dtype", "precision"))
+def accumulate_dense(a_dense, b_dense, a_idx, b_idx, c_tile_id,
+                     c_cap, chunk, acc_dtype, precision="highest"):
+    """C_dense[t] = sum over pairs p of tile t: A[a_idx[p]] @ B[b_idx[p]].
+
+    Chunked over pairs: each chunk gathers its operand tiles, runs one
+    batched 16x16 matmul, and scatter-adds into the dense C tiles.
+    """
+    p_cap = a_idx.shape[0]
+    assert p_cap % chunk == 0, (p_cap, chunk)
+    n_chunks = p_cap // chunk
+    seg = jnp.minimum(c_tile_id, c_cap)  # padding -> c_cap -> dropped
+
+    def body(i, c_dense):
+        sl = i * chunk
+        a_c = lax.dynamic_slice_in_dim(a_idx, sl, chunk)
+        b_c = lax.dynamic_slice_in_dim(b_idx, sl, chunk)
+        s_c = lax.dynamic_slice_in_dim(seg, sl, chunk)
+        ad = a_dense[a_c].astype(acc_dtype)
+        bd = b_dense[b_c].astype(acc_dtype)
+        prod = jnp.einsum("pij,pjk->pik", ad, bd,
+                          preferred_element_type=acc_dtype,
+                          precision=precision)
+        return c_dense.at[s_c].add(prod, mode="drop")
+
+    c_dense = jnp.zeros((c_cap, 16, 16), acc_dtype)
+    return lax.fori_loop(0, n_chunks, body, c_dense)
+
+
+@jax.jit
+def extract_values(c_dense, c_rowcol, c_elem_tile):
+    """Gather compressed tile-major C values from the dense C tiles."""
+    c_cap = c_dense.shape[0]
+    pos = jnp.minimum(c_elem_tile * 256 + c_rowcol, c_cap * 256 - 1)
+    return c_dense.reshape(-1)[pos]

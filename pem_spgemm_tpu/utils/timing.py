@@ -1,0 +1,58 @@
+"""Per-phase wall timing.
+
+The reference brackets every phase with cudaEvent pairs (19 events,
+spgemm.cu:730-755) plus std::chrono wall timers.  The XLA analog: time
+around jit calls, forcing completion with jax.block_until_ready — async
+dispatch means a phase's cost is only observable at a sync point, exactly
+like CUDA events at stream sync.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict
+
+import jax
+
+
+class PhaseTimers:
+    """Accumulates named phase durations (seconds) across iterations."""
+
+    def __init__(self):
+        self.totals = defaultdict(float)
+        self.counts = defaultdict(int)
+        self.per_iter = defaultdict(list)
+
+    @contextlib.contextmanager
+    def phase(self, name: str, sync=None):
+        """Time a block; if `sync` is given, block on it before stopping."""
+        t0 = time.perf_counter()
+        box = {}
+        try:
+            yield box
+        finally:
+            obj = box.get("sync", sync)
+            if obj is not None:
+                jax.block_until_ready(obj)
+            dt = time.perf_counter() - t0
+            self.totals[name] += dt
+            self.counts[name] += 1
+            self.per_iter[name].append(dt)
+
+    def mean(self, name: str) -> float:
+        n = self.counts.get(name, 0)
+        return self.totals[name] / n if n else 0.0
+
+    def min(self, name: str) -> float:
+        xs = self.per_iter.get(name, [])
+        return min(xs) if xs else 0.0
+
+    def pick(self, name: str, fastest: bool) -> float:
+        """Mean across repeats, or min with fastest=True (reference -DFASTEST)."""
+        return self.min(name) if fastest else self.mean(name)
+
+    def reset(self):
+        self.totals.clear()
+        self.counts.clear()
+        self.per_iter.clear()

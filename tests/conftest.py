@@ -1,0 +1,37 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Must set XLA flags before jax initializes (SURVEY.md section 4: multi-host
+paths are validated on --xla_force_host_platform_device_count simulation
+before real pod slices).
+"""
+
+import os
+
+# Force CPU: the ambient environment may preset JAX_PLATFORMS to a TPU
+# platform, and unit tests must run on the virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+def random_sparse(n_rows, n_cols, density, seed=0, dtype=np.float64):
+    """Random sparse matrix with exact-ish density, canonical COO."""
+    rs = np.random.default_rng(seed)
+    nnz = max(1, int(n_rows * n_cols * density))
+    rows = rs.integers(0, n_rows, nnz)
+    cols = rs.integers(0, n_cols, nnz)
+    vals = rs.standard_normal(nnz).astype(dtype)
+    m = sp.coo_matrix((vals, (rows, cols)), shape=(n_rows, n_cols))
+    m.sum_duplicates()
+    return m
