@@ -1,0 +1,102 @@
+"""Benchmark harness: WARMUP + REPEAT protocol with per-phase timing.
+
+Mirrors the reference's measurement protocol (spgemm.cu:1097-1450):
+  * conversion timed separately from the SpGEMM pipeline;
+  * WARMUP iterations discarded, REPEAT iterations aggregated by mean
+    (or min with fastest=True, the reference's -DFASTEST);
+  * flop / GFlops / compression_ratio definitions identical (utils/flops.py);
+  * kernel vs malloc split: kernel time is the in-phase (device + D2H sync)
+    time, malloc time is the residual host orchestration of the two-pass
+    allocation protocol — the analog of the reference's measured
+    cudaMallocAsync time (spgemm.cu:1353-1354).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+
+from pem_spgemm_tpu.config import SpGEMMConfig, DEFAULT_CONFIG
+from pem_spgemm_tpu.formats.coo import COOMatrix
+from pem_spgemm_tpu.ops.convert import coo_to_tiled
+from pem_spgemm_tpu.ops.spgemm import SpGEMM, SpGEMMResult
+from pem_spgemm_tpu.utils.flops import spgemm_flops, gflops, compression_ratio
+from pem_spgemm_tpu.utils.timing import PhaseTimers
+from pem_spgemm_tpu.utils.csv_report import (BenchmarkRecord, append_csv,
+                                             matrix_name, report_stdout)
+
+
+def run_benchmark(coo: COOMatrix, name: str,
+                  config: SpGEMMConfig = DEFAULT_CONFIG,
+                  aat: bool = False,
+                  csv_path: Optional[str] = None,
+                  verbose: bool = True):
+    """Benchmark C = A@A (or A@A.T with aat=True) on one matrix.
+
+    Returns (BenchmarkRecord, SpGEMMResult of the last iteration).
+    """
+    cfg = config
+
+    # --- conversion (timed once, like the reference) ---
+    t_conv0 = time.perf_counter()
+    t0 = time.perf_counter()
+    a = coo_to_tiled(coo, dtype=cfg.dtype).block_until_ready()
+    t_a = time.perf_counter() - t0
+    b_coo = coo.transpose() if aat else coo
+    t0 = time.perf_counter()
+    b = coo_to_tiled(b_coo, dtype=cfg.dtype,
+                     with_tmasks=True).block_until_ready()
+    t_b = time.perf_counter() - t0
+    t_conv_total = time.perf_counter() - t_conv0
+
+    # --- flop count (host; reference runs this on a jthread,
+    #     spgemm.cu:1068-1079) ---
+    flop = spgemm_flops(coo.cols, b_coo.rows, b_coo.shape[0])
+
+    engine = SpGEMM(cfg)
+
+    # --- WARMUP + REPEAT ---
+    for _ in range(cfg.warmup):
+        result = engine(a, b)
+        jax.block_until_ready(result.vals)
+
+    timers = PhaseTimers()
+    wall_iters = []
+    result: SpGEMMResult = None
+    for _ in range(cfg.repeat):
+        t0 = time.perf_counter()
+        result = engine(a, b, timers)
+        jax.block_until_ready(result.vals)
+        wall_iters.append(time.perf_counter() - t0)
+
+    total = min(wall_iters) if cfg.fastest else \
+        sum(wall_iters) / len(wall_iters)
+    s1 = timers.pick("step1", cfg.fastest)
+    s2 = timers.pick("step2", cfg.fastest)
+    s3 = timers.pick("step3", cfg.fastest)
+    kernel = s1 + s2 + s3
+    malloc = max(0.0, total - kernel)
+
+    record = BenchmarkRecord(
+        matrix=matrix_name(name),
+        flop=flop,
+        c_nnz=result.c_nnz,
+        compression_ratio=compression_ratio(flop, result.c_nnz),
+        a_conversion_kernel_time=t_a * 1e3,
+        b_conversion_kernel_time=t_b * 1e3,
+        total_conversion_overhead_time=t_conv_total * 1e3,
+        step1_time=s1 * 1e3,
+        step2_time=s2 * 1e3,
+        step3_time=s3 * 1e3,
+        pem_spgemm_time=total * 1e3,
+        pem_spgemm_kernel_time=kernel * 1e3,
+        pem_spgemm_malloc_time=malloc * 1e3,
+        gflops=gflops(flop, total),
+    )
+    if verbose:
+        print(report_stdout(record))
+    if csv_path:
+        append_csv(csv_path, record)
+    return record, result

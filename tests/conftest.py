@@ -7,13 +7,24 @@ before real pod slices).
 
 import os
 
-# Force CPU: the ambient environment may preset JAX_PLATFORMS to a TPU
-# platform, and unit tests must run on the virtual CPU mesh.
+# Force CPU: the ambient environment presets JAX_PLATFORMS to a TPU
+# platform, and unit tests must run on the virtual CPU mesh.  NOTE: pytest's
+# plugin machinery imports jax BEFORE this conftest runs, and jax snapshots
+# JAX_PLATFORMS at import — so the env var alone is too late; the config
+# update below is what actually takes effect (it works as long as no backend
+# has been initialized yet).
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", (
+    "tests must run on the virtual CPU mesh, got " + jax.default_backend())
+assert len(jax.devices()) == 8, jax.devices()
 
 import numpy as np
 import pytest
