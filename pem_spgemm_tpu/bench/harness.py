@@ -73,9 +73,9 @@ def run_benchmark(coo: COOMatrix, name: str,
 
     total = min(wall_iters) if cfg.fastest else \
         sum(wall_iters) / len(wall_iters)
-    s1 = timers.pick("step1", cfg.fastest)
-    s2 = timers.pick("step2", cfg.fastest)
-    s3 = timers.pick("step3", cfg.fastest)
+    s1 = timers.pick("step1", cfg.fastest, cfg.repeat)
+    s2 = timers.pick("step2", cfg.fastest, cfg.repeat)
+    s3 = timers.pick("step3", cfg.fastest, cfg.repeat)
     kernel = s1 + s2 + s3
     malloc = max(0.0, total - kernel)
 

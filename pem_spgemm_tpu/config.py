@@ -59,6 +59,23 @@ class SpGEMMConfig:
     # memory for the (chunk, 16, 16) product tensor: 16384 pairs -> 16 MiB f32.
     numeric_chunk: int = 1 << 14
 
+    # Structure engine:
+    #   "fused" — exact structural pattern from a second 0/1 batched matmul
+    #             inside the numeric loop (one pass over the pairs);
+    #   "masks" — standalone bitmask phase (16 bit-plane segment reductions,
+    #             mirrors the reference's step 2b shape; kept for parity
+    #             testing and mask-only symbolic use);
+    #   "element" — flop-proportional expand-sort-reduce at element level
+    #             (the hypersparse regime, <~6 nnz per tile);
+    #   "auto"  — dispatch on mean tile fill (element_threshold), the
+    #             TPU analog of the reference's structural dispatch to the
+    #             NSPARSE fallback (spgemm.cu:1142).
+    engine: str = "auto"
+
+    # "auto" picks the element engine when the mean nnz-per-occupied-tile of
+    # both operands is below this.
+    element_threshold: float = 6.0
+
     # Use the Pallas numeric kernel when available (TPU); fall back to the
     # XLA batched-matmul path otherwise.
     use_pallas: bool = True

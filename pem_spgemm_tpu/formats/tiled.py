@@ -95,6 +95,31 @@ class TiledMatrix:
         cols = tc * 16 + (rc & 15)
         return rows.astype(np.int64), cols.astype(np.int64), np.asarray(self.vals)
 
+    def element_coords(self):
+        """Global (row, col) arrays of all elements (device, jitted)."""
+        from pem_spgemm_tpu.ops.element import element_coords
+        return element_coords(self.tile_row, self.tile_col, self.elem_tile,
+                              self.rowcol)
+
+    def element_csr(self):
+        """Cached row-sorted element CSR (rowptr, rows, cols, vals).
+
+        Built once per matrix, like the reference's element CSR during
+        conversion (spgemm.cu:894-928); used by the element-level engine.
+        """
+        cached = getattr(self, "_ecsr_cache", None)
+        if cached is None:
+            from pem_spgemm_tpu.ops.element import build_element_csr
+            cached = build_element_csr(self.tile_row, self.tile_col,
+                                       self.elem_tile, self.rowcol,
+                                       self.vals, self.shape[0])
+            object.__setattr__(self, "_ecsr_cache", cached)
+        return cached
+
+    def fill_ratio(self) -> float:
+        """Mean nonzeros per occupied tile (engine-dispatch statistic)."""
+        return self.nnz / max(1, self.ntiles)
+
     def intra_rowptr(self) -> jax.Array:
         """Per-tile intra-tile CSR row pointers, (cap, 17) i32.
 

@@ -27,6 +27,18 @@ from jax import lax
 
 
 @partial(jax.jit, static_argnames=("c_cap",))
+def c_tile_coords(c_tile_id, c_row, c_col, c_cap):
+    """Scatter per-pair C tile keys into dense (c_cap,) coordinate arrays."""
+    valid = c_tile_id < c_cap
+    cid_drop = jnp.where(valid, c_tile_id, c_cap)
+    c_tile_row = jnp.full((c_cap,), 0x7FFFFFFF, jnp.int32).at[cid_drop].set(
+        c_row, mode="drop")
+    c_tile_col = jnp.full((c_cap,), 0x7FFFFFFF, jnp.int32).at[cid_drop].set(
+        c_col, mode="drop")
+    return c_tile_row, c_tile_col
+
+
+@partial(jax.jit, static_argnames=("c_cap",))
 def c_masks(a_masks, b_tmasks, a_idx, b_idx, c_tile_id, c_row, c_col, c_cap):
     """Per-C-tile bitmasks and exact nnz counts.
 

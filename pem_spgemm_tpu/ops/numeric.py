@@ -69,6 +69,71 @@ def accumulate_dense(a_dense, b_dense, a_idx, b_idx, c_tile_id,
     return lax.fori_loop(0, n_chunks, body, c_dense)
 
 
+@partial(jax.jit, static_argnames=("c_cap", "chunk", "acc_dtype",
+                                   "precision"))
+def accumulate_fused(a_dense, b_dense, a_idx, b_idx, c_tile_id,
+                     c_cap, chunk, acc_dtype, precision="highest"):
+    """One chunked pass producing BOTH the numeric C tiles and the exact
+    structural pattern.
+
+    The structural contribution of a pair is the boolean product of its
+    operand patterns — computed as a second batched matmul on 0/1 operands
+    (bf16 in, f32 accumulate: product counts are small integers, exact).
+    This reuses the dense-tile gathers of the numeric matmul, so the whole
+    reference step 2b (C masks + exact nnz, spgemm.cu:499-550) collapses
+    into two extra MXU ops per chunk instead of 16 segment reductions over
+    every pair's bitmasks.  Structural nnz stays exact under numeric
+    cancellation because the pattern accumulator is separate.
+
+    Returns (c_dense, c_counts): both (c_cap, 16, 16); c_counts[t, r, c] is
+    the number of structural products hitting C[t][r, c] (> 0 == nonzero).
+    """
+    p_cap = a_idx.shape[0]
+    assert p_cap % chunk == 0, (p_cap, chunk)
+    n_chunks = p_cap // chunk
+    seg = jnp.minimum(c_tile_id, c_cap)  # padding -> c_cap -> dropped
+
+    def body(i, carry):
+        c_dense, c_cnt = carry
+        sl = i * chunk
+        a_c = lax.dynamic_slice_in_dim(a_idx, sl, chunk)
+        b_c = lax.dynamic_slice_in_dim(b_idx, sl, chunk)
+        s_c = lax.dynamic_slice_in_dim(seg, sl, chunk)
+        ad = a_dense[a_c]
+        bd = b_dense[b_c]
+        prod = jnp.einsum("pij,pjk->pik", ad.astype(acc_dtype),
+                          bd.astype(acc_dtype),
+                          preferred_element_type=acc_dtype,
+                          precision=precision)
+        pat = jnp.einsum("pij,pjk->pik",
+                         (ad != 0).astype(jnp.bfloat16),
+                         (bd != 0).astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+        c_dense = c_dense.at[s_c].add(prod, mode="drop",
+                                      indices_are_sorted=True)
+        c_cnt = c_cnt.at[s_c].add(pat, mode="drop", indices_are_sorted=True)
+        return c_dense, c_cnt
+
+    init = (jnp.zeros((c_cap, 16, 16), acc_dtype),
+            jnp.zeros((c_cap, 16, 16), jnp.float32))
+    return lax.fori_loop(0, n_chunks, body, init)
+
+
+@jax.jit
+def counts_to_masks(c_counts):
+    """Pack the structural counts into per-tile row bitmasks + nnz scan.
+
+    Returns (cmask (c_cap, 16) i32, cptr (c_cap+1,) i32).
+    """
+    bits = (c_counts > 0).astype(jnp.int32)          # (c_cap, 16, 16)
+    shifts = jnp.arange(16, dtype=jnp.int32)[None, None, :]
+    cmask = jnp.sum(bits << shifts, axis=2, dtype=jnp.int32)
+    per_tile = jnp.sum(bits, axis=(1, 2), dtype=jnp.int32)
+    cptr = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                            jnp.cumsum(per_tile, dtype=jnp.int32)])
+    return cmask, cptr
+
+
 @jax.jit
 def extract_values(c_dense, c_rowcol, c_elem_tile):
     """Gather compressed tile-major C values from the dense C tiles."""

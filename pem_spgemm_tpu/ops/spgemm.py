@@ -33,26 +33,36 @@ from pem_spgemm_tpu.utils.timing import PhaseTimers
 
 @dataclasses.dataclass
 class SpGEMMResult:
-    """C = A@B in tiled form plus assembly inputs."""
+    """C = A@B. Tiled engines fill the tile-form fields; the element engine
+    fills direct COO coordinates instead."""
 
-    c_tile_row: jax.Array   # (c_cap,) i32
-    c_tile_col: jax.Array   # (c_cap,) i32
-    cmask: jax.Array        # (c_cap, 16) i32
-    cptr: jax.Array         # (c_cap+1,) i32 per-tile nnz exclusive scan
-    rowcol: jax.Array       # (c_nnz_cap,) i32
-    elem_tile: jax.Array    # (c_nnz_cap,) i32
-    vals: jax.Array         # (c_nnz_cap,) value dtype, tile-major order
+    vals: jax.Array         # (cap,) value dtype (tile-major or coo order)
     shape: tuple
-    c_ntiles: int           # true C tile count
     c_nnz: int              # true C nnz (structural, exact)
-    n_pairs: int            # tile-level intermediate products
+    n_pairs: int            # intermediate products (tile- or element-level)
+    engine: str
+    # tiled form (engine in {"fused", "masks"})
+    c_tile_row: Optional[jax.Array] = None   # (c_cap,) i32
+    c_tile_col: Optional[jax.Array] = None   # (c_cap,) i32
+    cmask: Optional[jax.Array] = None        # (c_cap, 16) i32
+    cptr: Optional[jax.Array] = None         # (c_cap+1,) i32 nnz scan
+    rowcol: Optional[jax.Array] = None       # (c_nnz_cap,) i32
+    elem_tile: Optional[jax.Array] = None    # (c_nnz_cap,) i32
+    c_ntiles: int = 0                        # true C tile count
+    # direct COO (engine == "element"), already (row, col)-sorted
+    rows: Optional[jax.Array] = None         # (c_cap,) i32
+    cols: Optional[jax.Array] = None         # (c_cap,) i32
 
     def to_coo(self) -> COOMatrix:
         """Assemble + sort to canonical global COO (host)."""
+        n = self.c_nnz
+        if self.rows is not None:
+            return COOMatrix(np.asarray(self.rows)[:n],
+                             np.asarray(self.cols)[:n],
+                             np.asarray(self.vals)[:n], self.shape)
         rows, cols, vals = assemble.assemble_coo(
             self.c_tile_row, self.c_tile_col, self.rowcol, self.elem_tile,
-            self.vals, jnp.int32(self.c_nnz))
-        n = self.c_nnz
+            self.vals, jnp.int32(n))
         return COOMatrix(np.asarray(rows)[:n], np.asarray(cols)[:n],
                          np.asarray(vals)[:n], self.shape)
 
@@ -63,15 +73,27 @@ class SpGEMM:
     def __init__(self, config: SpGEMMConfig = DEFAULT_CONFIG):
         self.config = config
 
+    def pick_engine(self, a: TiledMatrix, b: TiledMatrix) -> str:
+        cfg = self.config
+        if cfg.engine != "auto":
+            return cfg.engine
+        fill = 0.5 * (a.fill_ratio() + b.fill_ratio())
+        return "element" if fill < cfg.element_threshold else "fused"
+
     def __call__(self, a: TiledMatrix, b: TiledMatrix,
                  timers: Optional[PhaseTimers] = None) -> SpGEMMResult:
         cfg = self.config
         timers = timers if timers is not None else PhaseTimers()
         if a.shape[1] != b.shape[0]:
             raise ValueError(f"shape mismatch: {a.shape} @ {b.shape}")
-        b_tmasks = b.tmasks
-        if b_tmasks is None:
-            b_tmasks = transpose_masks(b.masks)
+        engine = self.pick_engine(a, b)
+        if engine == "element":
+            return self._element(a, b, timers)
+        cfg = cfg.with_(engine=engine)
+        b_tmasks = None
+        if cfg.engine == "masks":
+            b_tmasks = b.tmasks if b.tmasks is not None \
+                else transpose_masks(b.masks)
 
         # --- step 1: pair expansion + C tile structure (symbolic) ---
         with timers.phase("step1") as box:
@@ -88,32 +110,93 @@ class SpGEMM:
             c_ntiles = int(cnt_c_dev)             # D2H size feedback #2
             box["sync"] = c_tile_id
 
-        # --- step 2: C masks, exact per-tile nnz, intra-tile coords ---
-        with timers.phase("step2") as box:
-            c_cap = round_up_bucket(c_ntiles)
-            c_tile_row, c_tile_col, cmask, cptr, _pair_ptr = cstruct.c_masks(
-                a.masks, b_tmasks, a_idx, b_idx, c_tile_id, c_row, c_col,
-                c_cap)
-            c_nnz = int(cptr[-1])                 # D2H size feedback #3
-            c_nnz_cap = round_up_bucket(c_nnz)
-            c_rowcol, c_elem_tile = cstruct.c_rowcol(cmask, c_nnz_cap)
-            box["sync"] = c_rowcol
+        c_cap = round_up_bucket(c_ntiles)
+        if cfg.engine == "fused":
+            # --- step 3 (accumulation) runs first: one chunked pass yields
+            # both the numeric tiles and the exact structural pattern ---
+            with timers.phase("step3") as box:
+                a_dense = numeric.densify_tiles(
+                    a.vals, a.rowcol, a.elem_tile, a.tile_cap)
+                b_dense = a_dense if b is a else numeric.densify_tiles(
+                    b.vals, b.rowcol, b.elem_tile, b.tile_cap)
+                c_dense, c_counts = numeric.accumulate_fused(
+                    a_dense, b_dense, a_idx, b_idx, c_tile_id,
+                    c_cap, cfg.numeric_chunk, cfg.acc(), cfg.precision)
+                box["sync"] = c_dense
 
-        # --- step 3: numeric accumulation ---
-        with timers.phase("step3") as box:
-            a_dense = numeric.densify_tiles(
-                a.vals, a.rowcol, a.elem_tile, a.tile_cap)
-            b_dense = a_dense if b is a else numeric.densify_tiles(
-                b.vals, b.rowcol, b.elem_tile, b.tile_cap)
-            c_dense = numeric.accumulate_dense(
-                a_dense, b_dense, a_idx, b_idx, c_tile_id,
-                c_cap, cfg.numeric_chunk, cfg.acc(), cfg.precision)
-            c_vals = numeric.extract_values(c_dense, c_rowcol, c_elem_tile)
-            c_vals = c_vals.astype(cfg.dtype)
-            box["sync"] = c_vals
+            # --- step 2: structure derivation + two-pass value alloc ---
+            with timers.phase("step2") as box:
+                c_tile_row, c_tile_col = cstruct.c_tile_coords(
+                    c_tile_id, c_row, c_col, c_cap)
+                cmask, cptr = numeric.counts_to_masks(c_counts)
+                c_nnz = int(cptr[-1])             # D2H size feedback #3
+                c_nnz_cap = round_up_bucket(c_nnz)
+                c_rowcol, c_elem_tile = cstruct.c_rowcol(cmask, c_nnz_cap)
+                box["sync"] = c_rowcol
+
+            with timers.phase("step3"):
+                c_vals = numeric.extract_values(
+                    c_dense, c_rowcol, c_elem_tile).astype(cfg.dtype)
+        else:  # "masks": standalone bitmask structure phase
+            with timers.phase("step2") as box:
+                c_tile_row, c_tile_col, cmask, cptr, _pair_ptr = \
+                    cstruct.c_masks(a.masks, b_tmasks, a_idx, b_idx,
+                                    c_tile_id, c_row, c_col, c_cap)
+                c_nnz = int(cptr[-1])             # D2H size feedback #3
+                c_nnz_cap = round_up_bucket(c_nnz)
+                c_rowcol, c_elem_tile = cstruct.c_rowcol(cmask, c_nnz_cap)
+                box["sync"] = c_rowcol
+
+            with timers.phase("step3") as box:
+                a_dense = numeric.densify_tiles(
+                    a.vals, a.rowcol, a.elem_tile, a.tile_cap)
+                b_dense = a_dense if b is a else numeric.densify_tiles(
+                    b.vals, b.rowcol, b.elem_tile, b.tile_cap)
+                c_dense = numeric.accumulate_dense(
+                    a_dense, b_dense, a_idx, b_idx, c_tile_id,
+                    c_cap, cfg.numeric_chunk, cfg.acc(), cfg.precision)
+                c_vals = numeric.extract_values(
+                    c_dense, c_rowcol, c_elem_tile).astype(cfg.dtype)
+                box["sync"] = c_vals
 
         return SpGEMMResult(
+            vals=c_vals, shape=(a.shape[0], b.shape[1]), c_nnz=c_nnz,
+            n_pairs=n_pairs, engine=cfg.engine,
             c_tile_row=c_tile_row, c_tile_col=c_tile_col, cmask=cmask,
-            cptr=cptr, rowcol=c_rowcol, elem_tile=c_elem_tile, vals=c_vals,
-            shape=(a.shape[0], b.shape[1]), c_ntiles=c_ntiles, c_nnz=c_nnz,
-            n_pairs=n_pairs)
+            cptr=cptr, rowcol=c_rowcol, elem_tile=c_elem_tile,
+            c_ntiles=c_ntiles)
+
+    def _element(self, a: TiledMatrix, b: TiledMatrix,
+                 timers: PhaseTimers) -> SpGEMMResult:
+        """Element-level engine (ops/element.py): flop-proportional."""
+        from pem_spgemm_tpu.ops import element
+        cfg = self.config
+
+        with timers.phase("step1") as box:
+            b_rowptr, _b_rows, b_cols, b_vals = b.element_csr()
+            a_rows, a_cols = a.element_coords()
+            b_row_nnz = b_rowptr[1:] - b_rowptr[:-1]
+            offsets = element.product_offsets(a_cols, b_row_nnz)
+            n_products = int(offsets[-1])         # D2H size feedback #1
+            if n_products == 0:
+                raise ValueError("structurally empty product")
+            box["sync"] = offsets
+
+        with timers.phase("step2") as box:
+            p_cap = max(cfg.numeric_chunk, round_up_pow2(n_products))
+            ci, cj, cv, out_id, c_nnz_dev = element.expand_sorted_products(
+                offsets, a_rows, a_cols, a.vals, b_rowptr, b_cols, b_vals,
+                jnp.int32(n_products), p_cap)
+            c_nnz = int(c_nnz_dev)                # D2H size feedback #2
+            box["sync"] = out_id
+
+        with timers.phase("step3") as box:
+            c_cap = round_up_bucket(c_nnz)
+            rows, cols, vals = element.reduce_products(ci, cj, cv, out_id,
+                                                       c_cap)
+            box["sync"] = vals
+
+        return SpGEMMResult(
+            vals=vals.astype(cfg.dtype), shape=(a.shape[0], b.shape[1]),
+            c_nnz=c_nnz, n_pairs=n_products, engine="element",
+            rows=rows, cols=cols)

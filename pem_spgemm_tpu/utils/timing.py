@@ -40,17 +40,28 @@ class PhaseTimers:
             self.counts[name] += 1
             self.per_iter[name].append(dt)
 
-    def mean(self, name: str) -> float:
-        n = self.counts.get(name, 0)
-        return self.totals[name] / n if n else 0.0
-
-    def min(self, name: str) -> float:
+    def per_iteration(self, name: str, n_iters: int):
+        """Per-iteration durations when a phase may be entered several times
+        per iteration (the same number of times each iteration)."""
         xs = self.per_iter.get(name, [])
+        if not xs or n_iters <= 0 or len(xs) % n_iters:
+            return xs
+        k = len(xs) // n_iters
+        return [sum(xs[i * k:(i + 1) * k]) for i in range(n_iters)]
+
+    def mean(self, name: str, n_iters: int = 0) -> float:
+        xs = self.per_iteration(name, n_iters) if n_iters else \
+            self.per_iter.get(name, [])
+        return sum(xs) / len(xs) if xs else 0.0
+
+    def min(self, name: str, n_iters: int = 0) -> float:
+        xs = self.per_iteration(name, n_iters) if n_iters else \
+            self.per_iter.get(name, [])
         return min(xs) if xs else 0.0
 
-    def pick(self, name: str, fastest: bool) -> float:
+    def pick(self, name: str, fastest: bool, n_iters: int = 0) -> float:
         """Mean across repeats, or min with fastest=True (reference -DFASTEST)."""
-        return self.min(name) if fastest else self.mean(name)
+        return self.min(name, n_iters) if fastest else self.mean(name, n_iters)
 
     def reset(self):
         self.totals.clear()

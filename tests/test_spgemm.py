@@ -81,3 +81,40 @@ def test_structural_vs_numeric_zeros():
     got = result.to_coo().to_scipy().toarray()
     np.testing.assert_allclose(got, m @ m, atol=1e-6)
     del want_nnz
+
+
+def test_engines_agree():
+    # fused (0/1-matmul structure) and masks (bit-plane) engines must
+    # produce identical structure and values
+    m = random_sparse(400, 400, 0.01, seed=21)
+    r_fused = run_square(m, CFG.with_(engine="fused"))
+    r_masks = run_square(m, CFG.with_(engine="masks"))
+    assert r_fused.c_nnz == r_masks.c_nnz
+    assert (np.asarray(r_fused.cmask) == np.asarray(r_masks.cmask)).all()
+    a = r_fused.to_coo().to_scipy().tocsr()
+    b = r_masks.to_coo().to_scipy().tocsr()
+    assert (a.indices == b.indices).all()
+    np.testing.assert_allclose(a.data, b.data, rtol=1e-5, atol=1e-6)
+    check_against_scipy(r_fused, m @ m)
+
+
+def test_element_engine():
+    m = random_sparse(700, 700, 0.002, seed=33)  # hypersparse
+    r = run_square(m, CFG.with_(engine="element"))
+    assert r.engine == "element"
+    check_against_scipy(r, m @ m)
+
+
+def test_auto_dispatch():
+    from pem_spgemm_tpu.ops.spgemm import SpGEMM
+    from pem_spgemm_tpu.formats.coo import COOMatrix
+    from pem_spgemm_tpu.ops.convert import coo_to_tiled
+    eng = SpGEMM(CFG.with_(engine="auto"))
+    sparse = random_sparse(700, 700, 0.002, seed=1)   # ~1 nnz/tile
+    dense = random_sparse(100, 100, 0.3, seed=1)      # ~77 nnz/tile
+    ts = coo_to_tiled(COOMatrix.from_scipy(sparse))
+    td = coo_to_tiled(COOMatrix.from_scipy(dense))
+    assert eng.pick_engine(ts, ts) == "element"
+    assert eng.pick_engine(td, td) == "fused"
+    r = eng(td, td)
+    check_against_scipy(r, dense @ dense)
