@@ -93,12 +93,45 @@ def c_masks(a_masks, b_tmasks, a_idx, b_idx, c_tile_id, c_row, c_col, c_cap):
 
 
 @partial(jax.jit, static_argnames=("c_nnz_cap",))
-def c_rowcol(cmask, c_nnz_cap):
+def c_rowcol(cmask, cptr, c_nnz_cap):
     """Enumerate C's set bits: packed intra-tile coords + owning tile index.
 
     Returns (rowcol, elem_tile): both (c_nnz_cap,) i32, tile-major intra-tile
     row-major order — exactly the value order the numeric phase produces.
+
+    Gather-formulated: each output slot k locates its tile via a scatter+
+    cumsum over cptr, its row via the tile's mask-popcount scan, and its
+    column via a 16-step bit-rank select — O(c_nnz) vector work, no
+    (c_cap*256)-sized scatter (which is ~100x slower on TPU).
     """
+    from pem_spgemm_tpu.ops import scanops
+    c_cap = cmask.shape[0]
+    t = scanops.segment_ids_from_offsets(cptr, c_nnz_cap)
+    t = jnp.clip(t, 0, c_cap - 1)
+    j = jnp.arange(c_nnz_cap, dtype=jnp.int32) - cptr[t]
+    pcc = jnp.cumsum(lax.population_count(cmask), axis=1,
+                     dtype=jnp.int32)              # (c_cap, 16) inclusive
+    rowcum = pcc[t]                                # (c_nnz_cap, 16)
+    r = jnp.sum((rowcum <= j[:, None]).astype(jnp.int32), axis=1)
+    r = jnp.clip(r, 0, 15)
+    prev = jnp.where(
+        r > 0,
+        jnp.take_along_axis(rowcum, jnp.maximum(r - 1, 0)[:, None],
+                            axis=1)[:, 0], 0)
+    jr = j - prev                                  # bit rank within the row
+    m = cmask[t, r]
+    col = jnp.zeros_like(m)
+    cnt = jnp.zeros_like(m)
+    for c in range(16):
+        bit = (m >> c) & 1
+        col = jnp.where((bit == 1) & (cnt == jr), c, col)
+        cnt = cnt + bit
+    return ((r << 4) | col).astype(jnp.int32), t
+
+
+@partial(jax.jit, static_argnames=("c_nnz_cap",))
+def c_rowcol_scatter(cmask, c_nnz_cap):
+    """Scatter-formulated variant of c_rowcol (kept for cross-checking)."""
     c_cap = cmask.shape[0]
     shifts = jnp.arange(16, dtype=jnp.int32)
     bits = (cmask[:, :, None] >> shifts[None, None, :]) & 1   # (c_cap,16,16)

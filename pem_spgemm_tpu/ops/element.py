@@ -62,10 +62,11 @@ def expand_sorted_products(offsets, a_rows, a_cols, a_vals, b_rowptr,
     Returns (ci, cj, cv, out_id, c_nnz_dev): coordinates, product values,
     dense output rank per product (INT32_MAX on padding), distinct count.
     """
+    from pem_spgemm_tpu.ops import scanops
     p = jnp.arange(p_cap, dtype=jnp.int32)
     valid = p < n_products
-    a = jnp.clip(jnp.searchsorted(offsets, p, side="right").astype(jnp.int32)
-                 - 1, 0, a_rows.shape[0] - 1)
+    a = jnp.clip(scanops.segment_ids_from_offsets(offsets, p_cap),
+                 0, a_rows.shape[0] - 1)
     b = b_rowptr[a_cols[a]] + (p - offsets[a])
     b = jnp.clip(b, 0, b_cols.shape[0] - 1)
     ci = jnp.where(valid, a_rows[a], INT32_MAX)

@@ -103,10 +103,12 @@ class SpGEMM:
             if n_pairs == 0:
                 raise ValueError("structurally empty product")
             p_cap = max(cfg.numeric_chunk, round_up_pow2(n_pairs))
+            from pem_spgemm_tpu.ops.scanops import can_pack
+            packed = can_pack(a.n_tile_rows, b.n_tile_cols)
             c_row, c_col, a_idx, b_idx, c_tile_id, cnt_c_dev = \
                 symbolic.expand_pairs(
                     offsets, a.tile_row, a.tile_col, b.tile_rowptr,
-                    b.tile_col, jnp.int32(n_pairs), p_cap)
+                    b.tile_col, jnp.int32(n_pairs), p_cap, packed)
             c_ntiles = int(cnt_c_dev)             # D2H size feedback #2
             box["sync"] = c_tile_id
 
@@ -131,7 +133,7 @@ class SpGEMM:
                 cmask, cptr = numeric.counts_to_masks(c_counts)
                 c_nnz = int(cptr[-1])             # D2H size feedback #3
                 c_nnz_cap = round_up_bucket(c_nnz)
-                c_rowcol, c_elem_tile = cstruct.c_rowcol(cmask, c_nnz_cap)
+                c_rowcol, c_elem_tile = cstruct.c_rowcol(cmask, cptr, c_nnz_cap)
                 box["sync"] = c_rowcol
 
             with timers.phase("step3"):
@@ -144,7 +146,7 @@ class SpGEMM:
                                     c_tile_id, c_row, c_col, c_cap)
                 c_nnz = int(cptr[-1])             # D2H size feedback #3
                 c_nnz_cap = round_up_bucket(c_nnz)
-                c_rowcol, c_elem_tile = cstruct.c_rowcol(cmask, c_nnz_cap)
+                c_rowcol, c_elem_tile = cstruct.c_rowcol(cmask, cptr, c_nnz_cap)
                 box["sync"] = c_rowcol
 
             with timers.phase("step3") as box:

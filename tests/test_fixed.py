@@ -1,0 +1,50 @@
+"""Fixed-capacity single-dispatch pipeline: parity with the interactive one."""
+
+import numpy as np
+
+import jax
+
+from conftest import random_sparse
+from pem_spgemm_tpu.config import SpGEMMConfig
+from pem_spgemm_tpu.formats.coo import COOMatrix
+from pem_spgemm_tpu.ops.convert import coo_to_tiled
+from pem_spgemm_tpu.ops.fixed import make_plan
+from pem_spgemm_tpu.ops.spgemm import SpGEMM
+
+
+def test_planned_matches_interactive():
+    m = random_sparse(500, 500, 0.01, seed=4)
+    coo = COOMatrix.from_scipy(m)
+    a = coo_to_tiled(coo, dtype=np.float32)
+    b = coo_to_tiled(coo, dtype=np.float32)
+    cfg = SpGEMMConfig(numeric_chunk=1 << 10, engine="fused")
+    res = SpGEMM(cfg)(a, b)
+    plan = make_plan(res, cfg, a, b)
+    out = plan.run(a, b)
+    jax.block_until_ready(out)
+    (c_tile_row, c_tile_col, cmask, cptr, c_rowcol, c_elem_tile, c_vals,
+     c_nnz) = out
+    assert int(c_nnz) == res.c_nnz
+    n = res.c_nnz
+    assert (np.asarray(cmask) == np.asarray(res.cmask)).all()
+    assert (np.asarray(c_rowcol)[:n] == np.asarray(res.rowcol)[:n]).all()
+    np.testing.assert_allclose(np.asarray(c_vals)[:n],
+                               np.asarray(res.vals)[:n], rtol=1e-6)
+
+
+def test_scanops():
+    import jax.numpy as jnp
+    from pem_spgemm_tpu.ops import scanops
+    offsets = jnp.array([0, 3, 3, 5, 9], jnp.int32)  # one empty segment
+    ids = np.asarray(scanops.segment_ids_from_offsets(offsets, 12))
+    assert ids[:9].tolist() == [0, 0, 0, 2, 2, 3, 3, 3, 3]
+    # packed key order == lexicographic order
+    rs = np.random.default_rng(0)
+    hi = rs.integers(0, 1 << 16, 1000).astype(np.int32)
+    lo = rs.integers(0, 1 << 16, 1000).astype(np.int32)
+    keys = np.asarray(scanops.pack_key(jnp.asarray(hi), jnp.asarray(lo)))
+    order = np.argsort(keys, kind="stable")
+    lex = np.lexsort((lo, hi))
+    assert (hi[order] == hi[lex]).all() and (lo[order] == lo[lex]).all()
+    h2, l2 = scanops.unpack_key(jnp.asarray(keys))
+    assert (np.asarray(h2) == hi).all() and (np.asarray(l2) == lo).all()
