@@ -83,20 +83,18 @@ def run_benchmark(coo: COOMatrix, name: str,
     # is the time that defines GFlops.  The interactive-vs-fused gap is the
     # host-side allocation/orchestration overhead: the analog of the
     # reference's measured malloc time (spgemm.cu:1353-1354).
-    total = interactive
-    if result.engine in ("fused", "masks"):
-        from pem_spgemm_tpu.ops.fixed import make_plan
-        plan = make_plan(result, cfg, a, b)
+    from pem_spgemm_tpu.ops.fixed import make_plan
+    plan = make_plan(result, cfg, a, b)
+    out = plan.run(a, b)
+    jax.block_until_ready(out)               # compile + warm
+    fast_iters = []
+    for _ in range(cfg.repeat):
+        t0 = time.perf_counter()
         out = plan.run(a, b)
-        jax.block_until_ready(out)               # compile + warm
-        fast_iters = []
-        for _ in range(cfg.repeat):
-            t0 = time.perf_counter()
-            out = plan.run(a, b)
-            jax.block_until_ready(out)
-            fast_iters.append(time.perf_counter() - t0)
-        total = min(fast_iters) if cfg.fastest else \
-            sum(fast_iters) / len(fast_iters)
+        jax.block_until_ready(out)
+        fast_iters.append(time.perf_counter() - t0)
+    total = min(fast_iters) if cfg.fastest else \
+        sum(fast_iters) / len(fast_iters)
     malloc = max(0.0, interactive - kernel)
 
     record = BenchmarkRecord(

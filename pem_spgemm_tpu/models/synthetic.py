@@ -45,7 +45,7 @@ def banded(n: int, bands=(0, 1, -1, 16, -16, 200, -200), value: float = 0.0,
 
 
 def power_law(n: int, nnz: int, alpha: float = 2.1, seed: int = 0,
-              locality: float = 0.7) -> COOMatrix:
+              locality: float = 0.7, hub_correlation: float = 1.0) -> COOMatrix:
     """Scale-free row-degree matrix with tunable column locality
     (webbase-1M-like: hot rows, mostly-local links).
 
@@ -54,6 +54,13 @@ def power_law(n: int, nnz: int, alpha: float = 2.1, seed: int = 0,
     a +-256 window around the row index, the rest from a Zipf-popular
     global column set.  Duplicates are summed, costing a few percent of
     nnz at most (unlike naive iid zipf sampling, which collapses).
+
+    `hub_correlation` controls whether popular columns point AT high-degree
+    rows (webs: hubs link to hubs).  This drives the A@A intermediate-product
+    count flop = sum_j colcnt(j)*rowdeg(j): at 1.0 the Zipf column ranks map
+    onto rows in descending-degree order, reproducing webbase-1M-like
+    compression (products/nnz ~ 20); at 0.0 the mapping is a random
+    permutation and the product stays near-diagonal-sparse (products/nnz ~ 2).
     """
     rs = np.random.default_rng(seed)
     raw = (1.0 - rs.random(n)) ** (-1.0 / (alpha - 1.0))   # Pareto >= 1
@@ -69,8 +76,12 @@ def power_law(n: int, nnz: int, alpha: float = 2.1, seed: int = 0,
     u2 = rs.random(total)
     ranks2 = np.minimum((u2 ** (-1.0 / (alpha - 1.0)) - 1.0).astype(np.int64),
                         n - 1)
+    # Zipf rank -> column id: rank 0 = most popular.  Correlated mapping
+    # sends low ranks to the highest-degree rows.
+    by_degree = np.argsort(-deg, kind="stable").astype(np.int32)
     perm = rs.permutation(n).astype(np.int32)
-    far = perm[ranks2]
+    corr = rs.random(total) < hub_correlation
+    far = np.where(corr, by_degree[ranks2], perm[ranks2])
     cols = np.where(local, near, far)
     vals = rs.standard_normal(total)
     return _canonical(rows, cols, vals, (n, n))

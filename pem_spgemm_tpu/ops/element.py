@@ -83,6 +83,30 @@ def expand_sorted_products(offsets, a_rows, a_cols, a_vals, b_rowptr,
     return ci, cj, cv, out_id, c_nnz
 
 
+@partial(jax.jit, static_argnames=("p_cap", "c_cap"))
+def element_fixed(a_rows, a_cols, a_vals, b_rowptr, b_cols, b_vals,
+                  *, p_cap, c_cap):
+    """One-shot element-level SpGEMM at static capacities — no host syncs.
+
+    The element-engine analog of ops/fixed.spgemm_fixed: product counting,
+    expansion+sort, and segment reduction compose into ONE dispatch once the
+    capacities (p_cap >= products, c_cap >= C nnz) are known from a first
+    interactive run.  Mirrors the reference's steady-state repeat loop, which
+    re-runs its three steps with unchanged sizes (spgemm.cu:1133-1357).
+
+    Returns (rows, cols, vals, c_nnz): sorted COO triplets padded to c_cap
+    (INT32_MAX coordinate sentinels past c_nnz).
+    """
+    b_row_nnz = b_rowptr[1:] - b_rowptr[:-1]
+    offsets = product_offsets(a_cols, b_row_nnz)
+    n_products = jnp.minimum(offsets[-1], p_cap)
+    ci, cj, cv, out_id, c_nnz = expand_sorted_products(
+        offsets, a_rows, a_cols, a_vals, b_rowptr, b_cols, b_vals,
+        n_products, p_cap)
+    rows, cols, vals = reduce_products(ci, cj, cv, out_id, c_cap)
+    return rows, cols, vals, c_nnz
+
+
 @partial(jax.jit, static_argnames=("c_cap",))
 def reduce_products(ci, cj, cv, out_id, c_cap):
     """Coordinates + summed values of distinct outputs (padding INT32_MAX)."""

@@ -80,10 +80,30 @@ class SpGEMMPlan:
             packed=self.packed)
 
 
-def make_plan(result, config, a, b) -> SpGEMMPlan:
+@dataclasses.dataclass(frozen=True)
+class ElementPlan:
+    """Static capacities for the element-level engine's fixed step."""
+
+    p_cap: int
+    c_cap: int
+
+    def run(self, a, b):
+        """One dispatch: (rows, cols, vals, c_nnz) padded to c_cap."""
+        from pem_spgemm_tpu.ops.element import element_fixed
+        b_rowptr, _b_rows, b_cols, b_vals = b.element_csr()
+        a_rows, a_cols = a.element_coords()
+        return element_fixed(a_rows, a_cols, a.vals, b_rowptr, b_cols,
+                             b_vals, p_cap=self.p_cap, c_cap=self.c_cap)
+
+
+def make_plan(result, config, a, b):
     """Build a fixed-capacity plan from an interactive SpGEMMResult."""
     from pem_spgemm_tpu.config import round_up_pow2
     from pem_spgemm_tpu.ops.scanops import can_pack
+    if result.engine == "element":
+        return ElementPlan(
+            p_cap=max(config.numeric_chunk, round_up_pow2(result.n_pairs)),
+            c_cap=round_up_pow2(max(1, result.c_nnz)))
     return SpGEMMPlan(
         p_cap=max(config.numeric_chunk, round_up_pow2(result.n_pairs)),
         c_cap=round_up_pow2(max(1, result.c_ntiles)),

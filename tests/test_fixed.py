@@ -32,6 +32,28 @@ def test_planned_matches_interactive():
                                np.asarray(res.vals)[:n], rtol=1e-6)
 
 
+def test_planned_element_matches_scipy():
+    m = random_sparse(700, 700, 0.002, seed=9)   # hypersparse -> element
+    coo = COOMatrix.from_scipy(m)
+    a = coo_to_tiled(coo, dtype=np.float32)
+    b = coo_to_tiled(coo, dtype=np.float32)
+    cfg = SpGEMMConfig(numeric_chunk=1 << 10, engine="element")
+    res = SpGEMM(cfg)(a, b)
+    plan = make_plan(res, cfg, a, b)
+    rows, cols, vals, c_nnz = plan.run(a, b)
+    jax.block_until_ready(vals)
+    assert int(c_nnz) == res.c_nnz
+    want = (m @ m).tocoo()
+    want.sum_duplicates()
+    n = int(c_nnz)
+    assert want.nnz == n
+    order = np.lexsort((want.col, want.row))
+    np.testing.assert_array_equal(np.asarray(rows)[:n], want.row[order])
+    np.testing.assert_array_equal(np.asarray(cols)[:n], want.col[order])
+    np.testing.assert_allclose(np.asarray(vals)[:n], want.data[order],
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_scanops():
     import jax.numpy as jnp
     from pem_spgemm_tpu.ops import scanops
