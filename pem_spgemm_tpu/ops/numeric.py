@@ -40,6 +40,69 @@ def densify_tiles(vals, rowcol, elem_tile, tile_cap):
     return out.reshape(tile_cap, 16, 16)
 
 
+@partial(jax.jit, static_argnames=("tile_cap",))
+def densify_tiles_flat(vals, rowcol, elem_tile, tile_cap):
+    """Dense value tiles in FLAT (tile_cap + 1, 2, 128) layout.
+
+    The flat layout is the performance-critical choice on TPU: a (T, 16, 16)
+    f32 array is physically lane-padded to (T, 16, 128) in HBM (8x memory
+    and gather traffic), while (T, 2, 128) is dense.  Row ``tile_cap`` is an
+    all-zero tile that padding pairs index (their contributions vanish).
+    """
+    pos = elem_tile * 256 + rowcol
+    out = jnp.zeros(((tile_cap + 1) * 256,), vals.dtype).at[pos].set(
+        vals, mode="drop")
+    return out.reshape(tile_cap + 1, 2, 128)
+
+
+@partial(jax.jit, static_argnames=("c_cap", "chunk", "acc_dtype",
+                                   "precision"))
+def accumulate_fused_flat(a_flat, b_flat, a_idx, b_idx, c_tile_id,
+                          c_cap, chunk, acc_dtype, precision="highest"):
+    """Flat-layout fused numeric+structural accumulation (XLA engine).
+
+    Same contract as accumulate_fused but on (T+1, 2, 128) operand tables
+    (zero tile at index T for padding pairs) and (c_cap, 2, 128) outputs:
+      * operand gathers move 1KB dense rows (not lane-padded tiles);
+      * the numeric matmul and the 0/1 structural matmul share one batched
+        einsum call (stacked along the batch dim);
+      * scatter-adds accumulate flat rows.
+    Returns (c_dense, c_counts): both (c_cap, 256), counts in f32.
+    """
+    p_cap = a_idx.shape[0]
+    assert p_cap % chunk == 0, (p_cap, chunk)
+    n_chunks = p_cap // chunk
+    seg = jnp.minimum(c_tile_id, c_cap)  # padding -> c_cap -> dropped
+    # 2D (rows, 256) shapes for the gathers and scatters: row-granular
+    # gather/scatter on TPU only hits its fast path on 2D operands.
+    a2 = a_flat.reshape(a_flat.shape[0], 256)
+    b2 = b_flat.reshape(b_flat.shape[0], 256)
+
+    def body(i, carry):
+        c_dense, c_cnt = carry
+        sl = i * chunk
+        a_c = lax.dynamic_slice_in_dim(a_idx, sl, chunk)
+        b_c = lax.dynamic_slice_in_dim(b_idx, sl, chunk)
+        s_c = lax.dynamic_slice_in_dim(seg, sl, chunk)
+        ad = a2[a_c].reshape(chunk, 16, 16).astype(acc_dtype)
+        bd = b2[b_c].reshape(chunk, 16, 16).astype(acc_dtype)
+        lhs = jnp.concatenate([ad, (ad != 0).astype(acc_dtype)], axis=0)
+        rhs = jnp.concatenate([bd, (bd != 0).astype(acc_dtype)], axis=0)
+        both = jnp.einsum("pij,pjk->pik", lhs, rhs,
+                          preferred_element_type=acc_dtype,
+                          precision=precision)            # (2*chunk, 16, 16)
+        both = both.reshape(2 * chunk, 256)
+        c_dense = c_dense.at[s_c].add(both[:chunk], mode="drop",
+                                      indices_are_sorted=True)
+        c_cnt = c_cnt.at[s_c].add(both[chunk:].astype(jnp.float32),
+                                  mode="drop", indices_are_sorted=True)
+        return c_dense, c_cnt
+
+    init = (jnp.zeros((c_cap, 256), acc_dtype),
+            jnp.zeros((c_cap, 256), jnp.float32))
+    return lax.fori_loop(0, n_chunks, body, init)
+
+
 @partial(jax.jit, static_argnames=("c_cap", "chunk", "acc_dtype", "precision"))
 def accumulate_dense(a_dense, b_dense, a_idx, b_idx, c_tile_id,
                      c_cap, chunk, acc_dtype, precision="highest"):

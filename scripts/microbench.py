@@ -56,9 +56,10 @@ def main():
     def mk_sort1():
         def body(i, c):
             kk, acc = c
-            s, p = jax.lax.sort((kk + i, jnp.arange(N, dtype=jnp.int32)),
+            s, p = jax.lax.sort((kk, jnp.arange(N, dtype=jnp.int32)),
                                 num_keys=1)
-            return kk, acc + s[0] + p[-1]
+            # feed the (re-scrambled) output back in: no hoisting possible
+            return s ^ p, acc + s[0]
         return body, (k, jnp.int32(0))
     report(f"sort 1key+1payload i32 {N}", timeit_device(mk_sort1), N, "elem")
 
@@ -66,8 +67,8 @@ def main():
         def body(i, c):
             kk, acc = c
             a, b_, c_, d = jax.lax.sort(
-                (kk + i, k2, jnp.arange(N, dtype=jnp.int32), v), num_keys=2)
-            return kk, acc + a[0] + c_[-1]
+                (kk, k2, jnp.arange(N, dtype=jnp.int32), v), num_keys=2)
+            return a ^ c_, acc + a[0]
         return body, (k, jnp.int32(0))
     report(f"sort 2key+2payload {N}", timeit_device(mk_sort4), N, "elem")
 
@@ -99,15 +100,17 @@ def main():
         gi_sorted = jnp.sort(gi)
 
         def mk_gather(idx):
-            def body(i, c):
-                acc = c
-                g = big[jnp.bitwise_xor(idx, i)]  # vary index cheaply
-                return acc + g[0] + g[-1]
-            return lambda: (body, jnp.float32(0))
+            def make():
+                def body(i, c):
+                    acc = c
+                    g = big[jnp.bitwise_xor(idx, i)]  # vary index cheaply
+                    return acc + g[0] + g[-1]
+                return body, jnp.float32(0)
+            return make
         report(f"gather1d f32 {M} random from {BIG}",
-               timeit_device(mk_gather(gi)()), M, "elem")
+               timeit_device(mk_gather(gi), iters=4), M, "elem")
         report(f"gather1d f32 {M} sorted from {BIG}",
-               timeit_device(mk_gather(gi_sorted)()), M, "elem")
+               timeit_device(mk_gather(gi_sorted), iters=4), M, "elem")
 
     # --- row gathers: (T, W) take along axis 0 ---
     T = 1 << 20

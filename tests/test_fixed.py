@@ -22,11 +22,14 @@ def test_planned_matches_interactive():
     plan = make_plan(res, cfg, a, b)
     out = plan.run(a, b)
     jax.block_until_ready(out)
-    (c_tile_row, c_tile_col, cmask, cptr, c_rowcol, c_elem_tile, c_vals,
-     c_nnz) = out
+    c_tile_row, c_tile_col, cmask, cptr, c_dense, c_nnz = out
     assert int(c_nnz) == res.c_nnz
     n = res.c_nnz
     assert (np.asarray(cmask) == np.asarray(res.cmask)).all()
+    # assembly-side derivation of compressed values from the dense tiles
+    from pem_spgemm_tpu.ops import cstruct, numeric
+    c_rowcol, c_elem_tile = cstruct.c_rowcol(cmask, cptr, plan.c_nnz_cap)
+    c_vals = numeric.extract_values(c_dense, c_rowcol, c_elem_tile)
     assert (np.asarray(c_rowcol)[:n] == np.asarray(res.rowcol)[:n]).all()
     np.testing.assert_allclose(np.asarray(c_vals)[:n],
                                np.asarray(res.vals)[:n], rtol=1e-6)
