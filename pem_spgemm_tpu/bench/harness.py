@@ -41,15 +41,30 @@ def run_benchmark(coo: COOMatrix, name: str,
 
     # --- conversion (timed once, like the reference) ---
     t_conv0 = time.perf_counter()
-    t0 = time.perf_counter()
-    a = coo_to_tiled(coo, dtype=cfg.dtype)
-    force_sync(a.dense_flat())               # densification is conversion
-    t_a = time.perf_counter() - t0
     b_coo = coo.transpose() if aat else coo
-    t0 = time.perf_counter()
-    b = coo_to_tiled(b_coo, dtype=cfg.dtype, with_tmasks=True)
-    force_sync(b.dense_flat())
-    t_b = time.perf_counter() - t0
+    if cfg.engine == "macro":
+        # macro-dispatched workloads convert straight to Macro128 (the
+        # Tile16 form would only duplicate the operand in HBM)
+        from pem_spgemm_tpu.ops.convert import coo_to_macro
+        t0 = time.perf_counter()
+        a = coo_to_macro(coo, dtype=cfg.dtype)
+        force_sync(a.dense)
+        t_a = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        b = a if not aat else coo_to_macro(b_coo, dtype=cfg.dtype)
+        force_sync(b.dense)
+        t_b = time.perf_counter() - t0
+    else:
+        t0 = time.perf_counter()
+        a = coo_to_tiled(coo, dtype=cfg.dtype)
+        if cfg.engine in ("fused", "masks"):
+            force_sync(a.dense_flat())       # densification is conversion
+        t_a = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        b = coo_to_tiled(b_coo, dtype=cfg.dtype, with_tmasks=True)
+        if cfg.engine in ("fused", "masks"):
+            force_sync(b.dense_flat())
+        t_b = time.perf_counter() - t0
     t_conv_total = time.perf_counter() - t_conv0
 
     # --- flop count (host; reference runs this on a jthread,

@@ -76,6 +76,16 @@ class SpGEMMConfig:
     # both operands is below this.
     element_threshold: float = 6.0
 
+    # "auto" picks the macro (dense 128x128 MXU) engine when the mean nnz
+    # per occupied 128x128 macro tile of both operands is at least this.
+    # See formats/macro.py — the third engine tier, for stencil/banded/
+    # block-dense structure.
+    macro_threshold: float = 512.0
+
+    # Macro-tile pairs per matmul chunk: 256 pairs -> 2 x 16 MiB f32
+    # operands + 32 MiB products in flight.
+    macro_chunk: int = 256
+
     # Use the Pallas numeric kernel when available (TPU); fall back to the
     # XLA batched-matmul path otherwise.
     use_pallas: bool = True

@@ -120,6 +120,30 @@ class TiledMatrix:
         """Mean nonzeros per occupied tile (engine-dispatch statistic)."""
         return self.nnz / max(1, self.ntiles)
 
+    def macro(self):
+        """Cached Macro128 form of this matrix (formats/macro.py), built
+        from the tiled elements on device — a conversion-time product like
+        dense_flat()."""
+        cached = getattr(self, "_macro_cache", None)
+        if cached is None:
+            from pem_spgemm_tpu.ops.convert import tiled_to_macro
+            cached = tiled_to_macro(self)
+            object.__setattr__(self, "_macro_cache", cached)
+        return cached
+
+    def macro_stats(self):
+        """(occupied macro tiles, nnz per macro tile) without converting."""
+        cached = getattr(self, "_macro_stats", None)
+        if cached is None:
+            import numpy as np
+            tr = np.asarray(self.tile_row)[:self.ntiles] >> 3
+            tc = np.asarray(self.tile_col)[:self.ntiles] >> 3
+            nt = len(np.unique(tr.astype(np.int64) * (self.n_tile_cols + 1)
+                               + tc))
+            cached = (nt, self.nnz / max(1, nt))
+            object.__setattr__(self, "_macro_stats", cached)
+        return cached
+
     def dense_flat(self) -> jax.Array:
         """Cached dense value tiles, flat (tile_cap + 1, 2, 128) layout.
 

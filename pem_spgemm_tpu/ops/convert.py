@@ -102,6 +102,86 @@ def transpose_masks(masks):
     return jnp.stack(a, axis=1)
 
 
+@jax.jit
+def _macro_sort_phase(rows, cols, vals):
+    """Sort elements into macro-tile-major order via one packed-key sort."""
+    from pem_spgemm_tpu.ops.scanops import pack_key
+    tr = (rows >> 7).astype(jnp.int32)
+    tc = (cols >> 7).astype(jnp.int32)
+    intra = (((rows & 127) << 7) | (cols & 127)).astype(jnp.int32)
+    key = pack_key(tr, tc)
+    key, intra, vals = lax.sort((key, intra, vals), num_keys=1)
+    new_tile = jnp.concatenate([
+        jnp.ones((1,), jnp.int32),
+        (key[1:] != key[:-1]).astype(jnp.int32)])
+    tile_id = (jnp.cumsum(new_tile) - 1).astype(jnp.int32)
+    cnt = tile_id[-1] + 1
+    return key, intra, vals, tile_id, cnt
+
+
+@partial(jax.jit, static_argnames=("tile_cap", "n_macro_rows",
+                                   "n_macro_cols"))
+def _macro_build_phase(key, intra, vals, tile_id, tile_cap, n_macro_rows,
+                       n_macro_cols):
+    from pem_spgemm_tpu.ops.scanops import unpack_key
+    tr, tc = unpack_key(key)
+    tile_row = jnp.full((tile_cap,), n_macro_rows, jnp.int32).at[tile_id].set(
+        tr.astype(jnp.int32))
+    tile_col = jnp.full((tile_cap,), n_macro_cols, jnp.int32).at[tile_id].set(
+        tc.astype(jnp.int32))
+    pos = tile_id * (128 * 128) + intra
+    dense = jnp.zeros(((tile_cap + 1) * 128 * 128,), vals.dtype).at[pos].set(
+        vals, mode="drop").reshape(tile_cap + 1, 128, 128)
+    counts = jnp.bincount(tile_row, length=n_macro_rows + 1)[:n_macro_rows]
+    tile_rowptr = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                   jnp.cumsum(counts, dtype=jnp.int32)])
+    return tile_row, tile_col, tile_rowptr, dense
+
+
+def coo_to_macro(coo: COOMatrix, dtype=jnp.float32,
+                 tile_cap: int | None = None) -> "MacroMatrix":
+    """Convert host COO to the dense 128x128 macro-tile format."""
+    from pem_spgemm_tpu.formats.macro import MacroMatrix
+    from pem_spgemm_tpu.ops.scanops import can_pack
+    if coo.nnz == 0:
+        raise ValueError("empty matrix")
+    n_mr = cdiv(coo.shape[0], 128)
+    n_mc = cdiv(coo.shape[1], 128)
+    if not can_pack(n_mr, n_mc):
+        raise ValueError(f"macro grid {n_mr}x{n_mc} exceeds packed-key "
+                         "range (matrix > ~8.4M rows/cols)")
+    rows = jnp.asarray(coo.rows, jnp.int32)
+    cols = jnp.asarray(coo.cols, jnp.int32)
+    vals = jnp.asarray(np.asarray(coo.vals), dtype)
+    key, intra, vals_s, tile_id, cnt = _macro_sort_phase(rows, cols, vals)
+    ntiles = int(cnt)  # single D2H size feedback
+    cap = tile_cap if tile_cap is not None else round_up_bucket(ntiles)
+    tile_row, tile_col, tile_rowptr, dense = _macro_build_phase(
+        key, intra, vals_s, tile_id, cap, n_mr, n_mc)
+    return MacroMatrix(tile_row=tile_row, tile_col=tile_col,
+                       tile_rowptr=tile_rowptr, dense=dense,
+                       shape=tuple(coo.shape), ntiles=ntiles, nnz=coo.nnz)
+
+
+def tiled_to_macro(t: TiledMatrix, tile_cap: int | None = None):
+    """Build the macro form from an existing Tile16 matrix (no COO reread)."""
+    from pem_spgemm_tpu.formats.macro import MacroMatrix
+    from pem_spgemm_tpu.ops.scanops import can_pack
+    n_mr = cdiv(t.shape[0], 128)
+    n_mc = cdiv(t.shape[1], 128)
+    if not can_pack(n_mr, n_mc):
+        raise ValueError("macro grid exceeds packed-key range")
+    rows, cols = t.element_coords()
+    key, intra, vals_s, tile_id, cnt = _macro_sort_phase(rows, cols, t.vals)
+    ntiles = int(cnt)
+    cap = tile_cap if tile_cap is not None else round_up_bucket(ntiles)
+    tile_row, tile_col, tile_rowptr, dense = _macro_build_phase(
+        key, intra, vals_s, tile_id, cap, n_mr, n_mc)
+    return MacroMatrix(tile_row=tile_row, tile_col=tile_col,
+                       tile_rowptr=tile_rowptr, dense=dense,
+                       shape=tuple(t.shape), ntiles=ntiles, nnz=t.nnz)
+
+
 def coo_to_tiled(coo: COOMatrix, dtype=jnp.float32, with_tmasks: bool = False,
                  tile_cap: int | None = None) -> TiledMatrix:
     """Convert host COO triplets to a device TiledMatrix.

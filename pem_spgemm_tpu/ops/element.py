@@ -83,28 +83,144 @@ def expand_sorted_products(offsets, a_rows, a_cols, a_vals, b_rowptr,
     return ci, cj, cv, out_id, c_nnz
 
 
+@partial(jax.jit, static_argnames=("p_cap",))
+def expand_reduce_products(offsets, a_rows, a_cols, a_vals, b_rowptr,
+                           b_cols, b_vals, n_products, p_cap):
+    """Gather-free product expansion + grouping + reduction.
+
+    The TPU cost model (scripts/microbench3.py) makes per-product scalar
+    gathers the dominant cost of the naive expansion (~13ns each, ~6 per
+    product); this version moves data exclusively with sorts-with-payloads
+    (~2ns/elem/operand), forward-fill scans (scanops.fill_*), and
+    cumulative sums:
+
+      1. A-side terms reach the product stream via forward fills from
+         segment starts (rows/offsets are monotone -> delta-scatter+cumsum;
+         values/B-row-bases are arbitrary -> guarded associative scan).
+      2. B-side terms attach by ONE merge sort: the B element table (keys
+         2*i) and the product stream (keys 2*b(p)+1) sort together; each
+         query then forward-fills (col, val) from the nearest table entry
+         above it.  Payload slots are shared: a table entry carries
+         (col, val-bits) in the same two slots where a query carries
+         (row, A-val-bits).
+      3. Products group by one 2-key (row, col) sort; per-group sums use a
+         segmented Hillis-Steele scan (log2 rounds of masked shifted adds,
+         so the first product of each group holds the group total).
+      4. Compaction to dense output ranks is ONE more 1-key sort by
+         (is_first ? rank : rank | 1<<30) — a scatter-free stream compact.
+
+    Returns (rows, cols, vals, c_nnz): row-major-sorted COO triplets in the
+    leading c_nnz slots of (p_cap + nnz_b + 1)-long arrays.
+    """
+    from pem_spgemm_tpu.ops import scanops
+    nnz_b = b_cols.shape[0]
+    starts = offsets[:-1]
+    p = jnp.arange(p_cap, dtype=jnp.int32)
+    valid = p < n_products
+
+    # --- 1. A-side fills ---
+    ci = scanops.fill_monotone_i32(starts, a_rows, p_cap)
+    off = scanops.fill_monotone_i32(starts, starts, p_cap)
+    b_base_e = b_rowptr[a_cols]                      # (nnz_a,) small gather
+    bb = scanops.fill_any_32(starts, b_base_e, p_cap)
+    va = scanops.fill_any_32(starts, _f2i(a_vals), p_cap)
+    b = bb + (p - off)
+    b = jnp.where(valid, jnp.clip(b, 0, nnz_b - 1), nnz_b)
+    ci = jnp.where(valid, ci, INT32_MAX)
+
+    # --- 2. merge sort with the B table ---
+    tkey = jnp.arange(nnz_b + 1, dtype=jnp.int32) * 2        # tables even
+    qkey = b * 2 + 1                                         # queries odd
+    key = jnp.concatenate([tkey, qkey])
+    pl1 = jnp.concatenate([jnp.append(b_cols, INT32_MAX), ci])
+    pl2 = jnp.concatenate([_f2i(jnp.append(b_vals, 0.0)), va])
+    key, pl1, pl2 = lax.sort((key, pl1, pl2), num_keys=1)
+    n2 = key.shape[0]
+    is_table = (key & 1) == 0
+    pos = jnp.arange(n2, dtype=jnp.int32)
+    guard = jnp.where(is_table, pos, -1)
+
+    def comb(a_, b_):
+        ga, c1a, c2a = a_
+        gb, c1b, c2b = b_
+        t = gb >= ga
+        return (jnp.where(t, gb, ga), jnp.where(t, c1b, c1a),
+                jnp.where(t, c2b, c2a))
+
+    _, fill_col, fill_valbits = scanops.fori_scan(
+        comb, (guard, pl1, pl2), (-1, 0, 0))
+
+    q_ci = pl1                                       # queries' row
+    q_va = _i2f(pl2)
+    q_cj = fill_col
+    q_vb = _i2f(fill_valbits)
+    live = jnp.logical_not(is_table) & (q_ci != INT32_MAX)
+    cv = jnp.where(live, q_va * q_vb, 0.0)
+    ci2 = jnp.where(live, q_ci, INT32_MAX)
+    cj2 = jnp.where(live, q_cj, INT32_MAX)
+
+    # --- 3. group by (row, col); segmented sum via log-shift scan ---
+    ci2, cj2, cv = lax.sort((ci2, cj2, cv), num_keys=2)
+    new = jnp.concatenate([
+        jnp.ones((1,), jnp.int32),
+        ((ci2[1:] != ci2[:-1]) | (cj2[1:] != cj2[:-1])).astype(jnp.int32)])
+    out_id = (jnp.cumsum(new, dtype=jnp.int32) - 1)
+    c_nnz = jnp.where(
+        n_products > 0,
+        out_id[jnp.clip(n_products - 1, 0, n2 - 1)] + 1, 0)
+    # Per-group totals at the FIRST element of each group: one segmented
+    # inclusive-sum scan over the reversed stream (standard associative
+    # segmented-scan operator), then reverse back.
+    last = jnp.concatenate([(out_id[1:] != out_id[:-1]).astype(jnp.int32),
+                            jnp.ones((1,), jnp.int32)])
+    f_rev = last[::-1]
+    v_rev = cv[::-1]
+
+    def segsum(a_, b_):
+        fa, va_ = a_
+        fb, vb_ = b_
+        return fa | fb, vb_ + jnp.where(fb == 1, 0.0, va_)
+
+    _, summed_rev = scanops.fori_scan(segsum, (f_rev, v_rev), (0, 0.0))
+    cv = summed_rev[::-1]
+
+    # --- 4. compaction: firsts to the front, in rank order ---
+    first = new == 1
+    ckey = jnp.where(first, out_id, out_id | (1 << 30))
+    _, rows, cols, vals = lax.sort((ckey, ci2, cj2, cv), num_keys=1)
+    return rows, cols, vals, c_nnz
+
+
+def _f2i(x):
+    return lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+
+
+def _i2f(x):
+    return lax.bitcast_convert_type(x, jnp.float32)
+
+
 @partial(jax.jit, static_argnames=("p_cap", "c_cap"))
 def element_fixed(a_rows, a_cols, a_vals, b_rowptr, b_cols, b_vals,
                   *, p_cap, c_cap):
     """One-shot element-level SpGEMM at static capacities — no host syncs.
 
     The element-engine analog of ops/fixed.spgemm_fixed: product counting,
-    expansion+sort, and segment reduction compose into ONE dispatch once the
-    capacities (p_cap >= products, c_cap >= C nnz) are known from a first
-    interactive run.  Mirrors the reference's steady-state repeat loop, which
-    re-runs its three steps with unchanged sizes (spgemm.cu:1133-1357).
+    gather-free expansion (expand_reduce_products), and compaction compose
+    into ONE dispatch once p_cap >= products is known from a first
+    interactive run.  Mirrors the reference's steady-state repeat loop,
+    which re-runs its three steps with unchanged sizes (spgemm.cu:1133-1357).
 
-    Returns (rows, cols, vals, c_nnz): sorted COO triplets padded to c_cap
-    (INT32_MAX coordinate sentinels past c_nnz).
+    Returns (rows, cols, vals, c_nnz): sorted COO triplets; entries past
+    c_nnz carry INT32_MAX coordinate sentinels.  (c_cap is accepted for
+    plan compatibility; outputs are sized p_cap + nnz_b + 1.)
     """
+    del c_cap
     b_row_nnz = b_rowptr[1:] - b_rowptr[:-1]
     offsets = product_offsets(a_cols, b_row_nnz)
     n_products = jnp.minimum(offsets[-1], p_cap)
-    ci, cj, cv, out_id, c_nnz = expand_sorted_products(
+    return expand_reduce_products(
         offsets, a_rows, a_cols, a_vals, b_rowptr, b_cols, b_vals,
         n_products, p_cap)
-    rows, cols, vals = reduce_products(ci, cj, cv, out_id, c_cap)
-    return rows, cols, vals, c_nnz
 
 
 @partial(jax.jit, static_argnames=("c_cap",))

@@ -87,6 +87,32 @@ class SpGEMMPlan:
 
 
 @dataclasses.dataclass(frozen=True)
+class MacroPlan:
+    """Static capacities for the Macro128 engine's fixed step."""
+
+    p_cap: int
+    c_cap: int
+    chunk: int
+    acc_dtype: object
+    precision: str
+
+    def run(self, a, b):
+        """One dispatch: (c_tile_row, c_tile_col, c_dense, c_counts, cptr,
+        c_nnz)."""
+        from pem_spgemm_tpu.formats.macro import MacroMatrix
+        from pem_spgemm_tpu.ops.macro import macro_spgemm_fixed
+        am = a if isinstance(a, MacroMatrix) else a.macro()
+        bm = am if b is a else (
+            b if isinstance(b, MacroMatrix) else b.macro())
+        return macro_spgemm_fixed(
+            am.tile_row, am.tile_col, am.dense,
+            bm.tile_rowptr, bm.tile_col, bm.dense,
+            jnp.int32(am.ntiles), p_cap=self.p_cap, c_cap=self.c_cap,
+            chunk=self.chunk, acc_dtype=self.acc_dtype,
+            precision=self.precision)
+
+
+@dataclasses.dataclass(frozen=True)
 class ElementPlan:
     """Static capacities for the element-level engine's fixed step."""
 
@@ -121,6 +147,12 @@ def make_plan(result, config, a, b):
         return ElementPlan(
             p_cap=gran(result.n_pairs, chunk),
             c_cap=round_up_pow2(max(1, result.c_nnz)))
+    if result.engine == "macro":
+        return MacroPlan(
+            p_cap=gran(result.n_pairs, config.macro_chunk),
+            c_cap=gran(result.c_ntiles, 256),
+            chunk=config.macro_chunk,
+            acc_dtype=config.acc(), precision=config.precision)
     return SpGEMMPlan(
         p_cap=gran(result.n_pairs, chunk),
         c_cap=gran(result.c_ntiles, 1024),

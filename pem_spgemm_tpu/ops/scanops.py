@@ -17,6 +17,88 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def fori_scan(combine, xs, identities):
+    """Inclusive scan of `combine` over tuple-of-arrays `xs` (axis 0).
+
+    Hillis-Steele with a lax.fori_loop body (one dynamic-slice shift per
+    round): O(log n) rounds, COMPACT HLO.  jax.lax.associative_scan unrolls
+    its log-depth tree into the graph, which at ~50M elements makes XLA's
+    own compilation blow past the compile-helper memory budget; this form
+    compiles in O(1) graph size.
+
+    combine((a1..ak), (b1..bk)) -> (c1..ck) must be associative;
+    `identities` are per-array left-identity scalars.
+    """
+    import jax
+    from jax import lax
+    n = xs[0].shape[0]
+    rounds = max(1, (n - 1).bit_length())
+    pads = tuple(jnp.full((n,), idv, x.dtype)
+                 for x, idv in zip(xs, identities))
+
+    def body(r, xs_):
+        sh = jnp.int32(1) << r
+
+        def shifted(x, pad):
+            return lax.dynamic_slice_in_dim(
+                jnp.concatenate([pad, x]), n - sh, n)
+
+        left = tuple(shifted(x, p) for x, p in zip(xs_, pads))
+        return combine(left, xs_)
+
+    return jax.lax.fori_loop(0, rounds, body, tuple(xs))
+
+
+# Forward fills: expand per-segment values to a product stream WITHOUT
+# per-product gathers (XLA scalar gather costs ~13ns/element on TPU; these
+# cost one small scatter + one cumulative pass).
+
+def fill_monotone_i32(starts, values, total_cap: int):
+    """stream[k] = values[s] for the largest s with starts[s] <= k.
+
+    Requires `values` NONDECREASING in s (rows, offsets, ...).  Exact:
+    scatter per-segment deltas at the start positions, cumulative-sum.
+    Empty segments (duplicate starts) resolve to the largest s (scatter-add
+    accumulates all deltas at the shared position).
+    """
+    deltas = jnp.concatenate([values[:1], values[1:] - values[:-1]])
+    st = jnp.minimum(starts, total_cap)
+    acc = jnp.zeros((total_cap + 1,), jnp.int32).at[st].add(
+        deltas, mode="drop")
+    return jnp.cumsum(acc[:-1], dtype=jnp.int32)
+
+
+def fill_any_32(starts, value_bits, total_cap: int):
+    """stream[k] = value_bits[s] for the largest s with starts[s] <= k.
+
+    `value_bits` is any int32 bit pattern (use float32.view(int32) for
+    floats).  Exact forward fill without gathers or int64: scatter each
+    segment's bits at its start position (duplicate starts from empty
+    segments collapse to the last segment first; `starts` must be
+    nondecreasing so duplicates are adjacent), then run one associative
+    scan whose combiner keeps the entry with the larger guard (= most
+    recent scattered position).
+    """
+    import jax
+    st = jnp.minimum(starts, total_cap)
+    last_of_start = jnp.concatenate([
+        st[1:] != st[:-1], jnp.ones((1,), bool)])
+    st_eff = jnp.where(last_of_start, st, total_cap)   # dups -> dropped
+    guard = jnp.full((total_cap + 1,), -1, jnp.int32).at[st_eff].set(
+        st, mode="drop")
+    bits = jnp.zeros((total_cap + 1,), jnp.int32).at[st_eff].set(
+        value_bits, mode="drop")
+
+    def comb(a, b):
+        ga, ba = a
+        gb, bb = b
+        take_b = gb >= ga
+        return jnp.where(take_b, gb, ga), jnp.where(take_b, bb, ba)
+
+    _, filled = fori_scan(comb, (guard[:-1], bits[:-1]), (-1, 0))
+    return filled
+
+
 def segment_ids_from_offsets(offsets, total_cap: int):
     """offsets: (n_seg+1,) exclusive scan. Returns (total_cap,) i32 segment
     id per slot: id[k] = the segment s with offsets[s] <= k < offsets[s+1].

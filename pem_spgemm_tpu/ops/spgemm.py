@@ -52,10 +52,18 @@ class SpGEMMResult:
     # direct COO (engine == "element"), already (row, col)-sorted
     rows: Optional[jax.Array] = None         # (c_cap,) i32
     cols: Optional[jax.Array] = None         # (c_cap,) i32
+    # macro form (engine == "macro"): dense 128x128 C tiles + counts
+    c_counts: Optional[jax.Array] = None     # (c_cap, 128, 128) f32
 
     def to_coo(self) -> COOMatrix:
         """Assemble + sort to canonical global COO (host)."""
         n = self.c_nnz
+        if self.engine == "macro":
+            from pem_spgemm_tpu.ops.macro import assemble_macro_coo
+            rows, cols, vals = assemble_macro_coo(
+                self.c_tile_row, self.c_tile_col, self.vals, self.c_counts,
+                n)
+            return COOMatrix(rows, cols, vals, self.shape)
         if self.rows is not None:
             return COOMatrix(np.asarray(self.rows)[:n],
                              np.asarray(self.cols)[:n],
@@ -74,9 +82,15 @@ class SpGEMM:
         self.config = config
 
     def pick_engine(self, a: TiledMatrix, b: TiledMatrix) -> str:
+        """Three-tier structural dispatch (the TPU-native analog of the
+        reference's NSPARSE fallback dispatch, spgemm.cu:1142):
+        macro (dense 128x128 MXU) / fused (Tile16) / element."""
         cfg = self.config
         if cfg.engine != "auto":
             return cfg.engine
+        fill_m = 0.5 * (a.macro_stats()[1] + b.macro_stats()[1])
+        if fill_m >= cfg.macro_threshold:
+            return "macro"
         fill = 0.5 * (a.fill_ratio() + b.fill_ratio())
         return "element" if fill < cfg.element_threshold else "fused"
 
@@ -86,9 +100,14 @@ class SpGEMM:
         timers = timers if timers is not None else PhaseTimers()
         if a.shape[1] != b.shape[0]:
             raise ValueError(f"shape mismatch: {a.shape} @ {b.shape}")
+        from pem_spgemm_tpu.formats.macro import MacroMatrix
+        if isinstance(a, MacroMatrix):
+            return self._macro(a, b, timers)
         engine = self.pick_engine(a, b)
         if engine == "element":
             return self._element(a, b, timers)
+        if engine == "macro":
+            return self._macro(a, b, timers)
         cfg = cfg.with_(engine=engine)
         b_tmasks = None
         if cfg.engine == "masks":
@@ -166,6 +185,53 @@ class SpGEMM:
             cptr=cptr, rowcol=c_rowcol, elem_tile=c_elem_tile,
             c_ntiles=c_ntiles)
 
+    def _macro(self, a: TiledMatrix, b: TiledMatrix,
+               timers: PhaseTimers) -> SpGEMMResult:
+        """Macro128 engine (ops/macro.py): dense 128x128 MXU matmuls."""
+        from pem_spgemm_tpu.formats.macro import MacroMatrix
+        from pem_spgemm_tpu.ops import macro as M
+        from pem_spgemm_tpu.ops.scanops import can_pack
+        cfg = self.config
+        am = a if isinstance(a, MacroMatrix) else a.macro()
+        bm = am if b is a else (
+            b if isinstance(b, MacroMatrix) else b.macro())
+
+        with timers.phase("step1") as box:
+            offsets = symbolic.pair_counts(
+                am.tile_col, bm.tile_rowptr, jnp.int32(am.ntiles))
+            n_pairs = int(offsets[-1])        # D2H size feedback #1
+            if n_pairs == 0:
+                raise ValueError("structurally empty product")
+            chunk = cfg.macro_chunk
+            p_cap = max(chunk, -(-n_pairs // chunk) * chunk)
+            assert can_pack(am.n_macro_rows, bm.n_macro_cols)
+            c_row, c_col, a_idx, b_idx, c_tile_id, cnt_c_dev = \
+                symbolic.expand_pairs(
+                    offsets, am.tile_row, am.tile_col, bm.tile_rowptr,
+                    bm.tile_col, jnp.int32(n_pairs), p_cap, True)
+            c_ntiles = int(cnt_c_dev)         # D2H size feedback #2
+            box["sync"] = c_tile_id
+
+        c_cap = max(256, -(-c_ntiles // 256) * 256)
+        with timers.phase("step3") as box:
+            c_dense, c_counts = M.accumulate_macro(
+                am.dense, bm.dense, a_idx, b_idx, c_tile_id,
+                c_cap, chunk, cfg.acc(), cfg.precision)
+            box["sync"] = c_dense
+
+        with timers.phase("step2") as box:
+            c_tile_row, c_tile_col = cstruct.c_tile_coords(
+                c_tile_id, c_row, c_col, c_cap)
+            cptr = M.macro_structure(c_counts)
+            c_nnz = int(cptr[-1])             # D2H size feedback #3
+            box["sync"] = cptr
+
+        return SpGEMMResult(
+            vals=c_dense, shape=(a.shape[0], b.shape[1]), c_nnz=c_nnz,
+            n_pairs=n_pairs, engine="macro",
+            c_tile_row=c_tile_row, c_tile_col=c_tile_col, cptr=cptr,
+            c_counts=c_counts, c_ntiles=c_ntiles)
+
     def _element(self, a: TiledMatrix, b: TiledMatrix,
                  timers: PhaseTimers) -> SpGEMMResult:
         """Element-level engine (ops/element.py): flop-proportional."""
@@ -182,19 +248,15 @@ class SpGEMM:
                 raise ValueError("structurally empty product")
             box["sync"] = offsets
 
-        with timers.phase("step2") as box:
+        with timers.phase("step3") as box:
             p_cap = max(cfg.numeric_chunk, round_up_pow2(n_products))
-            ci, cj, cv, out_id, c_nnz_dev = element.expand_sorted_products(
+            rows, cols, vals, c_nnz_dev = element.expand_reduce_products(
                 offsets, a_rows, a_cols, a.vals, b_rowptr, b_cols, b_vals,
                 jnp.int32(n_products), p_cap)
-            c_nnz = int(c_nnz_dev)                # D2H size feedback #2
-            box["sync"] = out_id
-
-        with timers.phase("step3") as box:
-            c_cap = round_up_bucket(c_nnz)
-            rows, cols, vals = element.reduce_products(ci, cj, cv, out_id,
-                                                       c_cap)
             box["sync"] = vals
+
+        with timers.phase("step2") as box:
+            c_nnz = int(c_nnz_dev)                # D2H size feedback #2
 
         return SpGEMMResult(
             vals=vals.astype(cfg.dtype), shape=(a.shape[0], b.shape[1]),

@@ -110,11 +110,15 @@ def test_auto_dispatch():
     from pem_spgemm_tpu.formats.coo import COOMatrix
     from pem_spgemm_tpu.ops.convert import coo_to_tiled
     eng = SpGEMM(CFG.with_(engine="auto"))
+    from pem_spgemm_tpu.models.synthetic import banded
     sparse = random_sparse(700, 700, 0.002, seed=1)   # ~1 nnz/tile
-    dense = random_sparse(100, 100, 0.3, seed=1)      # ~77 nnz/tile
+    dense = random_sparse(100, 100, 0.3, seed=1)      # 1 macro tile, 3k nnz
+    mid = banded(n=2000, bands=(0, 1, -1), seed=1)    # fill16 ~24, fill_m<512
     ts = coo_to_tiled(COOMatrix.from_scipy(sparse))
     td = coo_to_tiled(COOMatrix.from_scipy(dense))
+    tm = coo_to_tiled(mid)
     assert eng.pick_engine(ts, ts) == "element"
-    assert eng.pick_engine(td, td) == "fused"
+    assert eng.pick_engine(td, td) == "macro"
+    assert eng.pick_engine(tm, tm) == "fused"
     r = eng(td, td)
     check_against_scipy(r, dense @ dense)
