@@ -40,6 +40,10 @@ SUITE = [
                                    bands=tuple(range(-8, 8))), "macro", 4.0),
     ("banded64-1M", "banded", dict(n=1_000_000,
                                    bands=tuple(range(-32, 32))), "macro", 7.0),
+    # wide-stencil / FEM-block-dense regime (consph/pdb1HYS-class rows)
+    ("banded128-1M", "banded", dict(n=1_000_000,
+                                    bands=tuple(range(-64, 64))), "macro",
+     10.0),
 ]
 
 

@@ -95,6 +95,7 @@ class MacroPlan:
     chunk: int
     acc_dtype: object
     precision: str
+    use_pallas: bool = False
 
     def run(self, a, b):
         """One dispatch: (c_tile_row, c_tile_col, c_dense, c_counts, cptr,
@@ -109,7 +110,7 @@ class MacroPlan:
             bm.tile_rowptr, bm.tile_col, bm.dense,
             jnp.int32(am.ntiles), p_cap=self.p_cap, c_cap=self.c_cap,
             chunk=self.chunk, acc_dtype=self.acc_dtype,
-            precision=self.precision)
+            precision=self.precision, use_pallas=self.use_pallas)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -148,11 +149,17 @@ def make_plan(result, config, a, b):
             p_cap=gran(result.n_pairs, chunk),
             c_cap=round_up_pow2(max(1, result.c_nnz)))
     if result.engine == "macro":
+        import jax
+        use_pallas = (config.use_pallas
+                      and jax.devices()[0].platform != "cpu"
+                      and config.acc() == jnp.float32)
         return MacroPlan(
-            p_cap=gran(result.n_pairs, config.macro_chunk),
+            p_cap=gran(result.n_pairs, 1024 if use_pallas
+                       else config.macro_chunk),
             c_cap=gran(result.c_ntiles, 256),
             chunk=config.macro_chunk,
-            acc_dtype=config.acc(), precision=config.precision)
+            acc_dtype=config.acc(), precision=config.precision,
+            use_pallas=use_pallas)
     return SpGEMMPlan(
         p_cap=gran(result.n_pairs, chunk),
         c_cap=gran(result.c_ntiles, 1024),

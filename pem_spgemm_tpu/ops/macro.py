@@ -82,25 +82,36 @@ def macro_structure(c_counts):
 
 
 @partial(jax.jit, static_argnames=("p_cap", "c_cap", "chunk", "acc_dtype",
-                                   "precision", "packed"))
+                                   "precision", "packed", "use_pallas"))
 def macro_spgemm_fixed(a_tile_row, a_tile_col, a_dense,
                        b_tile_rowptr, b_tile_col, b_dense,
                        ntiles_a, *, p_cap, c_cap, chunk,
                        acc_dtype=jnp.float32, precision="highest",
-                       packed=True):
+                       packed=True, use_pallas=False):
     """One-dispatch macro SpGEMM at static capacities.
 
-    Returns (c_tile_row, c_tile_col, c_dense, c_counts, cptr, c_nnz).
+    use_pallas=True routes accumulation through the fused Pallas kernel
+    (ops/pallas_macro.py — TPU only; requires p_cap % 1024 == 0 and
+    acc_dtype float32).  Returns (c_tile_row, c_tile_col, c_dense,
+    c_counts, cptr, c_nnz); c_counts is bf16.
     """
     from pem_spgemm_tpu.ops import cstruct
     offsets = symbolic.pair_counts(a_tile_col, b_tile_rowptr, ntiles_a)
     n_pairs = jnp.minimum(offsets[-1], p_cap)
-    c_row, c_col, a_idx, b_idx, c_tile_id, _cnt = symbolic.expand_pairs(
+    c_row, c_col, a_idx, b_idx, c_tile_id, cnt = symbolic.expand_pairs(
         offsets, a_tile_row, a_tile_col, b_tile_rowptr, b_tile_col,
         n_pairs, p_cap, packed)
-    c_dense, c_counts = accumulate_macro(
-        a_dense, b_dense, a_idx, b_idx, c_tile_id, c_cap, chunk,
-        acc_dtype, precision)
+    if use_pallas:
+        from pem_spgemm_tpu.ops.pallas_macro import (accumulate_macro_pallas,
+                                                     BC)
+        assert c_cap % BC == 0, (c_cap, BC)
+        c_dense, c_counts = accumulate_macro_pallas(
+            a_dense, b_dense, a_idx, b_idx, c_tile_id, cnt, c_cap,
+            precision)
+    else:
+        c_dense, c_counts = accumulate_macro(
+            a_dense, b_dense, a_idx, b_idx, c_tile_id, c_cap, chunk,
+            acc_dtype, precision)
     c_tile_row, c_tile_col = cstruct.c_tile_coords(
         c_tile_id, c_row, c_col, c_cap)
     cptr = macro_structure(c_counts)

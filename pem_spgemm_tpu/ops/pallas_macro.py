@@ -88,9 +88,12 @@ def _kernel(bof_ref, a_idx_ref, b_idx_ref, seg_ref, a_hbm, b_hbm,
     pat = lax.dot_general((a3 != 0).astype(jnp.bfloat16),
                           (b3 != 0).astype(jnp.bfloat16),
                           dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                          preferred_element_type=jnp.bfloat16)
-    a_buf[:] = prod          # stage products for dynamic indexing
-    pat_f = pat
+                          preferred_element_type=jnp.float32)
+    # Stage both products in the now-dead operand buffers so the
+    # accumulation loop dynamic-indexes REFS (Mosaic cannot dynamic-slice
+    # a vector value).
+    a_buf[:] = prod
+    b_buf[:] = pat
 
     base = b0 * BC
 
@@ -102,13 +105,15 @@ def _kernel(bof_ref, a_idx_ref, b_idx_ref, seg_ref, a_hbm, b_hbm,
         def _():
             j = jnp.clip(local, 0, BC - 1)
             c_num_ref[pl.ds(j, 1)] += a_buf[pl.ds(k, 1)]
-            c_pat_ref[pl.ds(j, 1)] += lax.dynamic_slice_in_dim(pat_f, k, 1)
+            c_pat_ref[pl.ds(j, 1)] += \
+                b_buf[pl.ds(k, 1)].astype(jnp.bfloat16)
 
         @pl.when(jnp.logical_not(inb))
         def _():
             j = jnp.clip(local - BC, 0, CH - 1)
             carry_n[pl.ds(j, 1)] += a_buf[pl.ds(k, 1)]
-            carry_p[pl.ds(j, 1)] += lax.dynamic_slice_in_dim(pat_f, k, 1)
+            carry_p[pl.ds(j, 1)] += \
+                b_buf[pl.ds(k, 1)].astype(jnp.bfloat16)
 
         return 0
 
