@@ -232,7 +232,7 @@ def _local_numeric(a_dense, b_chunk0, pairs_a, pairs_b, seg, rowcol,
 
     # Mark the accumulator device-varying up front so the loop carry type is
     # stable (it becomes varying after the first scatter-add anyway).
-    c_dense = lax.pvary(jnp.zeros((c_cap, 16, 16), acc_dtype), (AXIS,))
+    c_dense = lax.pcast(jnp.zeros((c_cap, 16, 16), acc_dtype), (AXIS,), to='varying')
     _, c_dense = lax.fori_loop(0, n_stages, stage, (b_chunk0, c_dense))
     pos = jnp.minimum(elem_tile * 256 + rowcol, c_cap * 256 - 1)
     return c_dense.reshape(-1)[pos]
