@@ -33,15 +33,17 @@ def banded(n: int, bands=(0, 1, -1, 16, -16, 200, -200), value: float = 0.0,
     """Diagonal-stencil matrix; value=0 draws random values."""
     rs = np.random.default_rng(seed)
     rows_l, cols_l, vals_l = [], [], []
-    for b in bands:
+    for b in sorted(set(bands)):
         r = np.arange(max(0, -b), min(n, n - b), dtype=np.int32)
         c = r + b
         rows_l.append(r)
         cols_l.append(c.astype(np.int32))
         vals_l.append(np.full(len(r), value) if value
                       else rs.standard_normal(len(r)))
-    return _canonical(np.concatenate(rows_l), np.concatenate(cols_l),
-                      np.concatenate(vals_l), (n, n))
+    # distinct bands are disjoint: no duplicate coordinates, so skip the
+    # O(nnz log nnz) host-side canonicalization (device conversion sorts)
+    return COOMatrix(np.concatenate(rows_l), np.concatenate(cols_l),
+                     np.concatenate(vals_l), (n, n))
 
 
 def power_law(n: int, nnz: int, alpha: float = 2.1, seed: int = 0,
