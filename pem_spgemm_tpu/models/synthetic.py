@@ -32,18 +32,18 @@ def banded(n: int, bands=(0, 1, -1, 16, -16, 200, -200), value: float = 0.0,
            seed: int = 0) -> COOMatrix:
     """Diagonal-stencil matrix; value=0 draws random values."""
     rs = np.random.default_rng(seed)
-    rows_l, cols_l, vals_l = [], [], []
-    for b in sorted(set(bands)):
-        r = np.arange(max(0, -b), min(n, n - b), dtype=np.int32)
-        c = r + b
-        rows_l.append(r)
-        cols_l.append(c.astype(np.int32))
-        vals_l.append(np.full(len(r), value) if value
-                      else rs.standard_normal(len(r)))
-    # distinct bands are disjoint: no duplicate coordinates, so skip the
-    # O(nnz log nnz) host-side canonicalization (device conversion sorts)
-    return COOMatrix(np.concatenate(rows_l), np.concatenate(cols_l),
-                     np.concatenate(vals_l), (n, n))
+    bs = np.array(sorted(set(int(b) for b in bands)), np.int64)
+    # Build row-major directly (rows x bands grid, masked at the borders):
+    # distinct bands cannot collide, so the result is canonical without the
+    # O(nnz log nnz) host lexsort (which dominated generation at 10^8 nnz).
+    cols_mat = np.arange(n, dtype=np.int64)[:, None] + bs[None, :]
+    valid = (cols_mat >= 0) & (cols_mat < n)
+    rows = np.broadcast_to(np.arange(n, dtype=np.int32)[:, None],
+                           cols_mat.shape)[valid]
+    cols = cols_mat[valid].astype(np.int32)
+    vals = (np.full(len(rows), value) if value
+            else rs.standard_normal(len(rows)))
+    return COOMatrix(rows, cols, vals, (n, n))
 
 
 def power_law(n: int, nnz: int, alpha: float = 2.1, seed: int = 0,
