@@ -144,6 +144,7 @@ def accumulate_macro_pallas(a_dense, b_dense, a_idx, b_idx, seg, cnt_c,
     bof = jnp.minimum(jnp.clip(seg_first // BC, 0, n_blocks - 1), last_real)
 
     prec = dict(highest=lax.Precision.HIGHEST,
+                high=lax.Precision.HIGH,
                 default=lax.Precision.DEFAULT)[precision]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -70,3 +70,28 @@ def test_pallas_tile16_matches_xla():
     np.testing.assert_array_equal(
         np.asarray(got_c)[:n_c].reshape(n_c, 256) > 0,
         np.asarray(ref_c)[:n_c] > 0)
+
+
+def test_pallas_macro_pipelined_matches_xla():
+    import pem_spgemm_tpu.ops.pallas_macro2 as pm2
+    coo = banded(n=2000, bands=(0, 3, -3, 64, -64), seed=4)
+    m = coo_to_macro(coo, dtype=jnp.float32)
+    c_row, c_col, a_idx, b_idx, c_tile_id, cnt = _pairs(m, 32)
+    c_cap = max(4, -(-int(cnt) // 4) * 4)
+    ref_n, ref_c = macro.accumulate_macro(
+        m.dense, m.dense, a_idx, b_idx, c_tile_id, c_cap, 32, jnp.float32)
+    old_w = pm2.WINDOW
+    try:
+        pm2.WINDOW = 64          # force multi-window chaining
+        got_n, got_c = pm2.accumulate_macro_pipelined(
+            m.dense, m.dense, a_idx, b_idx, c_tile_id, cnt, c_cap,
+            interpret=True)
+    finally:
+        pm2.WINDOW = old_w
+    n_c = int(cnt)
+    np.testing.assert_allclose(np.asarray(got_n)[:n_c],
+                               np.asarray(ref_n)[:n_c],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(got_c, np.float32)[:n_c] > 0,
+        np.asarray(ref_c, np.float32)[:n_c] > 0)
