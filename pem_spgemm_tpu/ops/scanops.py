@@ -71,32 +71,42 @@ def fill_monotone_i32(starts, values, total_cap: int):
 def fill_any_32(starts, value_bits, total_cap: int):
     """stream[k] = value_bits[s] for the largest s with starts[s] <= k.
 
-    `value_bits` is any int32 bit pattern (use float32.view(int32) for
-    floats).  Exact forward fill without gathers or int64: scatter each
-    segment's bits at its start position (duplicate starts from empty
-    segments collapse to the last segment first; `starts` must be
-    nondecreasing so duplicates are adjacent), then run one associative
-    scan whose combiner keeps the entry with the larger guard (= most
-    recent scattered position).
+    Single-payload wrapper around fill_any_multi.
     """
-    import jax
+    return fill_any_multi(starts, (value_bits,), total_cap)[0]
+
+
+def fill_any_multi(starts, value_bits_tuple, total_cap: int):
+    """Forward-fill SEVERAL per-segment int32 bit patterns in one scan.
+
+    stream_j[k] = value_bits_tuple[j][s] for the largest s with
+    starts[s] <= k.  Exact for arbitrary bit patterns (use
+    float32.view(int32) for floats) and without gathers or int64: scatter
+    each segment's bits at its start position (duplicate starts from empty
+    segments collapse to the last segment; `starts` must be nondecreasing
+    so duplicates are adjacent), then ONE associative scan over the
+    (guard, bits...) tuple whose combiner keeps the entry with the larger
+    guard (= most recent scattered position).  Scanning all payloads
+    together amortizes the scan's shift/concat passes.
+    """
     st = jnp.minimum(starts, total_cap)
     last_of_start = jnp.concatenate([
         st[1:] != st[:-1], jnp.ones((1,), bool)])
     st_eff = jnp.where(last_of_start, st, total_cap)   # dups -> dropped
     guard = jnp.full((total_cap + 1,), -1, jnp.int32).at[st_eff].set(
         st, mode="drop")
-    bits = jnp.zeros((total_cap + 1,), jnp.int32).at[st_eff].set(
-        value_bits, mode="drop")
+    bits = tuple(
+        jnp.zeros((total_cap + 1,), jnp.int32).at[st_eff].set(
+            vb, mode="drop")
+        for vb in value_bits_tuple)
 
     def comb(a, b):
-        ga, ba = a
-        gb, bb = b
-        take_b = gb >= ga
-        return jnp.where(take_b, gb, ga), jnp.where(take_b, bb, ba)
+        take_b = b[0] >= a[0]
+        return tuple(jnp.where(take_b, xb, xa) for xa, xb in zip(a, b))
 
-    _, filled = fori_scan(comb, (guard[:-1], bits[:-1]), (-1, 0))
-    return filled
+    out = fori_scan(comb, (guard[:-1],) + tuple(x[:-1] for x in bits),
+                    (-1,) + (0,) * len(bits))
+    return out[1:]
 
 
 def segment_ids_from_offsets(offsets, total_cap: int):

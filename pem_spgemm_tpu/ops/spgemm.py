@@ -49,9 +49,12 @@ class SpGEMMResult:
     rowcol: Optional[jax.Array] = None       # (c_nnz_cap,) i32
     elem_tile: Optional[jax.Array] = None    # (c_nnz_cap,) i32
     c_ntiles: int = 0                        # true C tile count
-    # direct COO (engine == "element"), already (row, col)-sorted
+    # direct COO / stream form (engine == "element"), (row, col)-sorted;
+    # when `first` is set the arrays are the flagged group stream and
+    # to_coo compacts them (untimed assembly)
     rows: Optional[jax.Array] = None         # (c_cap,) i32
     cols: Optional[jax.Array] = None         # (c_cap,) i32
+    first: Optional[jax.Array] = None        # (c_cap,) i32 group-start flags
     # macro form (engine == "macro"): dense 128x128 C tiles + counts
     c_counts: Optional[jax.Array] = None     # (c_cap, 128, 128) f32
 
@@ -65,6 +68,12 @@ class SpGEMMResult:
                 n)
             return COOMatrix(rows, cols, vals, self.shape)
         if self.rows is not None:
+            if self.first is not None:
+                from pem_spgemm_tpu.ops.element import compact_stream
+                r, c, v = compact_stream(self.rows, self.cols, self.vals,
+                                         self.first)
+                return COOMatrix(np.asarray(r)[:n], np.asarray(c)[:n],
+                                 np.asarray(v)[:n], self.shape)
             return COOMatrix(np.asarray(self.rows)[:n],
                              np.asarray(self.cols)[:n],
                              np.asarray(self.vals)[:n], self.shape)
@@ -250,9 +259,10 @@ class SpGEMM:
 
         with timers.phase("step3") as box:
             p_cap = max(cfg.numeric_chunk, round_up_pow2(n_products))
-            rows, cols, vals, c_nnz_dev = element.expand_reduce_products(
-                offsets, a_rows, a_cols, a.vals, b_rowptr, b_cols, b_vals,
-                jnp.int32(n_products), p_cap)
+            rows, cols, vals, first, c_nnz_dev = \
+                element.expand_reduce_products(
+                    offsets, a_rows, a_cols, a.vals, b_rowptr, b_cols,
+                    b_vals, jnp.int32(n_products), p_cap)
             box["sync"] = vals
 
         with timers.phase("step2") as box:
@@ -261,4 +271,4 @@ class SpGEMM:
         return SpGEMMResult(
             vals=vals.astype(cfg.dtype), shape=(a.shape[0], b.shape[1]),
             c_nnz=c_nnz, n_pairs=n_products, engine="element",
-            rows=rows, cols=cols)
+            rows=rows, cols=cols, first=first)

@@ -43,13 +43,16 @@ def test_planned_element_matches_scipy():
     cfg = SpGEMMConfig(numeric_chunk=1 << 10, engine="element")
     res = SpGEMM(cfg)(a, b)
     plan = make_plan(res, cfg, a, b)
-    rows, cols, vals, c_nnz = plan.run(a, b)
+    rows, cols, vals, first, c_nnz = plan.run(a, b)
     jax.block_until_ready(vals)
     assert int(c_nnz) == res.c_nnz
     want = (m @ m).tocoo()
     want.sum_duplicates()
     n = int(c_nnz)
     assert want.nnz == n
+    # untimed assembly: compact the flagged group stream
+    from pem_spgemm_tpu.ops.element import compact_stream
+    rows, cols, vals = compact_stream(rows, cols, vals, first)
     order = np.lexsort((want.col, want.row))
     np.testing.assert_array_equal(np.asarray(rows)[:n], want.row[order])
     np.testing.assert_array_equal(np.asarray(cols)[:n], want.col[order])
