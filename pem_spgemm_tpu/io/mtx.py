@@ -178,15 +178,64 @@ def write_matrix_market(path: str, m: COOMatrix) -> None:
             f.write(f"{int(r) + 1} {int(c) + 1} {v:.17g}\n")
 
 
-def save_result_files(outdir: str, m: COOMatrix, prefix: str = "SPGEMM_RESULT"):
+_writer_lib = None
+_writer_failed = False
+
+
+def _get_writer():
+    """Lazily build + load the native result writer; None if unavailable."""
+    global _writer_lib, _writer_failed
+    if _writer_lib is not None or _writer_failed:
+        return _writer_lib
+    src = os.path.join(_CSRC, "result_writer.cpp")
+    lib_path = os.path.join(_CSRC, "libresult_writer.so")
+    if not os.path.exists(lib_path):
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-std=c++17", "-fPIC", "-pthread", "-shared",
+                 "-o", lib_path, src],
+                check=True, capture_output=True, timeout=120)
+        except (subprocess.SubprocessError, FileNotFoundError, OSError):
+            _writer_failed = True
+            return None
+    try:
+        lib = ctypes.CDLL(lib_path)
+    except OSError:
+        _writer_failed = True
+        return None
+    lib.write_result_files.restype = ctypes.c_int64
+    lib.write_result_files.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.c_int]
+    _writer_lib = lib
+    return lib
+
+
+def save_result_files(outdir: str, m: COOMatrix, prefix: str = "SPGEMM_RESULT",
+                      native: bool = True):
     """Dump a result in the reference's four-file text layout.
 
     The reference writes /tmp/SPGEMM_RESULT_{NNZ,ROWS,COLS,VALS}.txt with
-    values at max_digits10 precision (spgemm.cu:1527-1560).
+    values at max_digits10 precision (spgemm.cu:1527-1560) and highlights
+    multi-GiB dumps (README.md:43-44); the native writer formats slices in
+    parallel (csrc/result_writer.cpp), with numpy savetxt as fallback.
     """
     os.makedirs(outdir, exist_ok=True)
     paths = {k: os.path.join(outdir, f"{prefix}_{k}.txt")
              for k in ("NNZ", "ROWS", "COLS", "VALS")}
+    lib = _get_writer() if native else None
+    if lib is not None:
+        rows = np.ascontiguousarray(m.rows, np.int32)
+        cols = np.ascontiguousarray(m.cols, np.int32)
+        vals = np.ascontiguousarray(m.vals, np.float64)
+        n = lib.write_result_files(
+            outdir.encode(), prefix.encode(), rows, cols, vals,
+            np.int64(m.nnz), min(8, os.cpu_count() or 1))
+        if n == m.nnz:
+            return paths
     with open(paths["NNZ"], "w") as f:
         f.write(f"{m.nnz}\n")
     np.savetxt(paths["ROWS"], m.rows, fmt="%d")

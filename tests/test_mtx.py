@@ -108,3 +108,20 @@ def test_save_result_files(tmp_path):
     paths = save_result_files(str(tmp_path), m)
     assert open(paths["NNZ"]).read().strip() == "2"
     assert np.loadtxt(paths["VALS"]).tolist() == [1.25, -2.5]
+
+
+def test_result_writer_native_matches_python(tmp_path):
+    import numpy as np
+    from pem_spgemm_tpu.formats.coo import COOMatrix
+    from pem_spgemm_tpu.io.mtx import save_result_files
+    rs = np.random.default_rng(3)
+    m = COOMatrix(rs.integers(0, 500, 200).astype(np.int32),
+                  rs.integers(0, 500, 200).astype(np.int32),
+                  rs.standard_normal(200), (500, 500))
+    p1 = save_result_files(str(tmp_path / "n"), m)
+    p2 = save_result_files(str(tmp_path / "p"), m, native=False)
+    for k in ("NNZ", "ROWS", "COLS"):
+        assert open(p1[k]).read().split() == open(p2[k]).read().split()
+    v1 = [float(x) for x in open(p1["VALS"]).read().split()]
+    v2 = [float(x) for x in open(p2["VALS"]).read().split()]
+    np.testing.assert_array_equal(v1, v2)
