@@ -90,10 +90,10 @@ def macro_spgemm_fixed(a_tile_row, a_tile_col, a_dense,
                        packed=True, use_pallas=False):
     """One-dispatch macro SpGEMM at static capacities.
 
-    use_pallas=True routes accumulation through the fused Pallas kernel
-    (ops/pallas_macro.py — TPU only; requires p_cap % 1024 == 0 and
-    acc_dtype float32).  Returns (c_tile_row, c_tile_col, c_dense,
-    c_counts, cptr, c_nnz); c_counts is bf16.
+    use_pallas=True routes accumulation through the windowed grid-pipeline
+    Pallas kernel (ops/pallas_macro2.py — TPU only; requires
+    p_cap % 1024 == 0 and acc_dtype float32).  Returns (c_tile_row,
+    c_tile_col, c_dense, c_counts, cptr, c_nnz); c_counts is bf16.
     """
     from pem_spgemm_tpu.ops import cstruct
     offsets = symbolic.pair_counts(a_tile_col, b_tile_rowptr, ntiles_a)
@@ -102,10 +102,10 @@ def macro_spgemm_fixed(a_tile_row, a_tile_col, a_dense,
         offsets, a_tile_row, a_tile_col, b_tile_rowptr, b_tile_col,
         n_pairs, p_cap, packed)
     if use_pallas:
-        from pem_spgemm_tpu.ops.pallas_macro import (accumulate_macro_pallas,
-                                                     BC)
+        from pem_spgemm_tpu.ops.pallas_macro2 import (
+            accumulate_macro_pipelined, BC)
         assert c_cap % BC == 0, (c_cap, BC)
-        c_dense, c_counts = accumulate_macro_pallas(
+        c_dense, c_counts = accumulate_macro_pipelined(
             a_dense, b_dense, a_idx, b_idx, c_tile_id, cnt, c_cap,
             precision)
     else:
