@@ -1,5 +1,13 @@
-"""Fused Pallas numeric kernel: DMA-gather + batched 16x16 matmul +
-segmented accumulation in one pass.
+"""Fused Pallas numeric kernel for Tile16: DMA-gather + batched 16x16
+matmul + segmented accumulation in one pass.
+
+STATUS: correct under the Pallas interpreter (tests/test_pallas.py) but
+NOT compilable on current Mosaic hardware backends — the in-kernel
+relayout (CH, 2, 128) -> (CH, 16, 16) hits an unsupported vector shape
+cast.  The production Tile16 path remains the XLA engine
+(ops/numeric.accumulate_fused_flat); the production Pallas kernel is the
+Macro128 one (ops/pallas_macro2.py), where (1, 128, 128) blocks need no
+relayout.  Kept as the blueprint for when Mosaic gains the shape cast.
 
 TPU-native re-design of reference step 3 + step 2b
 (pem_spgemm_step3_accumulate spgemm.cu:593-661,

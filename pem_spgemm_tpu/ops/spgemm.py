@@ -258,7 +258,11 @@ class SpGEMM:
             box["sync"] = offsets
 
         with timers.phase("step3") as box:
-            p_cap = max(cfg.numeric_chunk, round_up_pow2(n_products))
+            # chunk-granular capacity: one compile per matrix either way,
+            # and a pow2 bucket would pad every stream pass by up to 2x
+            p_cap = max(cfg.numeric_chunk,
+                        -(-n_products // cfg.numeric_chunk)
+                        * cfg.numeric_chunk)
             rows, cols, vals, first, c_nnz_dev = \
                 element.expand_reduce_products(
                     offsets, a_rows, a_cols, a.vals, b_rowptr, b_cols,
