@@ -152,7 +152,7 @@ def coo_to_macro(coo: COOMatrix, dtype=jnp.float32,
                          "range (matrix > ~8.4M rows/cols)")
     rows = jnp.asarray(coo.rows, jnp.int32)
     cols = jnp.asarray(coo.cols, jnp.int32)
-    vals = jnp.asarray(np.asarray(coo.vals), dtype)
+    vals = jnp.asarray(coo.vals, dtype)
     key, intra, vals_s, tile_id, cnt = _macro_sort_phase(rows, cols, vals)
     ntiles = int(cnt)  # single D2H size feedback
     cap = tile_cap if tile_cap is not None else round_up_bucket(ntiles)
@@ -195,7 +195,7 @@ def coo_to_tiled(coo: COOMatrix, dtype=jnp.float32, with_tmasks: bool = False,
     n_tile_cols = cdiv(coo.shape[1], 16)
     rows = jnp.asarray(coo.rows, jnp.int32)
     cols = jnp.asarray(coo.cols, jnp.int32)
-    vals = jnp.asarray(np.asarray(coo.vals), dtype)
+    vals = jnp.asarray(coo.vals, dtype)
     tr, tc, intra, vals_s, tile_id, cnt, n_dup = _sort_phase(rows, cols, vals)
     ntiles = int(cnt)  # the single D2H size feedback of the conversion
     if int(n_dup):
