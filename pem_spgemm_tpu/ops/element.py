@@ -83,9 +83,12 @@ def expand_sorted_products(offsets, a_rows, a_cols, a_vals, b_rowptr,
     return ci, cj, cv, out_id, c_nnz
 
 
-@partial(jax.jit, static_argnames=("p_cap",))
+@partial(jax.jit, static_argnames=("p_cap", "fill_rounds", "merge_rounds",
+                                   "sum_rounds"))
 def expand_reduce_products(offsets, a_rows, a_cols, a_vals, b_rowptr,
-                           b_cols, b_vals, n_products, p_cap):
+                           b_cols, b_vals, n_products, p_cap,
+                           fill_rounds=None, merge_rounds=None,
+                           sum_rounds=None):
     """Gather-free product expansion + grouping + reduction.
 
     The TPU cost model (scripts/microbench3.py) makes per-product scalar
@@ -127,8 +130,10 @@ def expand_reduce_products(offsets, a_rows, a_cols, a_vals, b_rowptr,
     ci = scanops.fill_monotone_i32(starts, a_rows, p_cap)
     off = scanops.fill_monotone_i32(starts, starts, p_cap)
     b_base_e = b_rowptr[a_cols]                      # (nnz_a,) small gather
+    # fill_rounds bounds the scan depth by log2(max B-row nnz) — the
+    # longest expansion segment (host-computed, exact bound)
     bb, va = scanops.fill_any_multi(
-        starts, (b_base_e, _f2i(a_vals)), p_cap)
+        starts, (b_base_e, _f2i(a_vals)), p_cap, rounds=fill_rounds)
     b = bb + (p - off)
     b = jnp.where(valid, jnp.clip(b, 0, nnz_b - 1), nnz_b)
     ci = jnp.where(valid, ci, INT32_MAX)
@@ -152,8 +157,10 @@ def expand_reduce_products(offsets, a_rows, a_cols, a_vals, b_rowptr,
         return (jnp.where(t, gb, ga), jnp.where(t, c1b, c1a),
                 jnp.where(t, c2b, c2a))
 
+    # merge_rounds bounds the query->table gap by log2(max products per
+    # B element + 1) (= max A column count, host-computed)
     _, fill_col, fill_valbits = scanops.fori_scan(
-        comb, (guard, pl1, pl2), (-1, 0, 0))
+        comb, (guard, pl1, pl2), (-1, 0, 0), rounds=merge_rounds)
 
     q_ci = pl1                                       # queries' row
     q_va = _i2f(pl2)
@@ -186,10 +193,37 @@ def expand_reduce_products(offsets, a_rows, a_cols, a_vals, b_rowptr,
         fb, vb_ = b_
         return fa | fb, vb_ + jnp.where(fb == 1, 0.0, va_)
 
-    _, summed_rev = scanops.fori_scan(segsum, (f_rev, v_rev), (0, 0.0))
+    # sum_rounds bounds group sizes by log2(max A row nnz) (a C group
+    # (i, j) has at most nnz_row_i(A) contributing products)
+    _, summed_rev = scanops.fori_scan(segsum, (f_rev, v_rev), (0, 0.0),
+                                      rounds=sum_rounds)
     cv = summed_rev[::-1]
 
     return ci2, cj2, cv, new, c_nnz
+
+
+def scan_round_bounds(a_rows_np, a_cols_np, b_row_nnz_np):
+    """Host-computed static scan-depth bounds (see expand_reduce_products).
+
+    Returns (fill_rounds, merge_rounds, sum_rounds), each rounded up to an
+    even count so plan shapes bucket coarsely.
+    """
+    import numpy as np
+
+    def ceil_log2(x):
+        return max(1, int(x - 1).bit_length()) if x > 1 else 1
+
+    def even(r):
+        return r + (r & 1)
+
+    max_brow = int(b_row_nnz_np.max()) if len(b_row_nnz_np) else 1
+    arow_cnt = np.bincount(a_rows_np) if len(a_rows_np) else np.array([1])
+    max_arow = int(arow_cnt.max())
+    acol_cnt = np.bincount(a_cols_np) if len(a_cols_np) else np.array([1])
+    max_acol = int(acol_cnt.max())
+    return (even(ceil_log2(max_brow) + 1),
+            even(ceil_log2(max_acol) + 2),
+            even(ceil_log2(max_arow) + 1))
 
 
 @jax.jit
@@ -214,9 +248,11 @@ def _i2f(x):
     return lax.bitcast_convert_type(x, jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("p_cap", "c_cap"))
+@partial(jax.jit, static_argnames=("p_cap", "c_cap", "fill_rounds",
+                                   "merge_rounds", "sum_rounds"))
 def element_fixed(a_rows, a_cols, a_vals, b_rowptr, b_cols, b_vals,
-                  *, p_cap, c_cap):
+                  *, p_cap, c_cap, fill_rounds=None, merge_rounds=None,
+                  sum_rounds=None):
     """One-shot element-level SpGEMM at static capacities — no host syncs.
 
     The element-engine analog of ops/fixed.spgemm_fixed: product counting,
@@ -235,7 +271,7 @@ def element_fixed(a_rows, a_cols, a_vals, b_rowptr, b_cols, b_vals,
     n_products = jnp.minimum(offsets[-1], p_cap)
     return expand_reduce_products(
         offsets, a_rows, a_cols, a_vals, b_rowptr, b_cols, b_vals,
-        n_products, p_cap)
+        n_products, p_cap, fill_rounds, merge_rounds, sum_rounds)
 
 
 @partial(jax.jit, static_argnames=("c_cap",))

@@ -119,14 +119,20 @@ class ElementPlan:
 
     p_cap: int
     c_cap: int
+    fill_rounds: object = None
+    merge_rounds: object = None
+    sum_rounds: object = None
 
     def run(self, a, b):
-        """One dispatch: (rows, cols, vals, c_nnz) padded to c_cap."""
+        """One dispatch: C stream form (rows, cols, vals, first, c_nnz)."""
         from pem_spgemm_tpu.ops.element import element_fixed
         b_rowptr, _b_rows, b_cols, b_vals = b.element_csr()
         a_rows, a_cols = a.element_coords()
         return element_fixed(a_rows, a_cols, a.vals, b_rowptr, b_cols,
-                             b_vals, p_cap=self.p_cap, c_cap=self.c_cap)
+                             b_vals, p_cap=self.p_cap, c_cap=self.c_cap,
+                             fill_rounds=self.fill_rounds,
+                             merge_rounds=self.merge_rounds,
+                             sum_rounds=self.sum_rounds)
 
 
 def make_plan(result, config, a, b):
@@ -145,9 +151,16 @@ def make_plan(result, config, a, b):
         return max(g, -(-int(n) // g) * g)
 
     if result.engine == "element":
+        import numpy as np
+        from pem_spgemm_tpu.ops.element import scan_round_bounds
+        b_rowptr = np.asarray(b.element_csr()[0])
+        a_rows_np, a_cols_np = (np.asarray(x) for x in a.element_coords())
+        fr, mr, sr = scan_round_bounds(a_rows_np, a_cols_np,
+                                       np.diff(b_rowptr))
         return ElementPlan(
             p_cap=gran(result.n_pairs, chunk),
-            c_cap=round_up_pow2(max(1, result.c_nnz)))
+            c_cap=round_up_pow2(max(1, result.c_nnz)),
+            fill_rounds=fr, merge_rounds=mr, sum_rounds=sr)
     if result.engine == "macro":
         import jax
         use_pallas = (config.use_pallas

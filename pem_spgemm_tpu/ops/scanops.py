@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def fori_scan(combine, xs, identities):
+def fori_scan(combine, xs, identities, rounds=None):
     """Inclusive scan of `combine` over tuple-of-arrays `xs` (axis 0).
 
     Hillis-Steele with a lax.fori_loop body (one dynamic-slice shift per
@@ -27,12 +27,16 @@ def fori_scan(combine, xs, identities):
     compiles in O(1) graph size.
 
     combine((a1..ak), (b1..bk)) -> (c1..ck) must be associative;
-    `identities` are per-array left-identity scalars.
+    `identities` are per-array left-identity scalars.  `rounds` (static)
+    may cap the passes when the caller can bound the maximum dependency
+    distance by 2**rounds (e.g. a known maximum segment length); None
+    scans the full length.
     """
     import jax
     from jax import lax
     n = xs[0].shape[0]
-    rounds = max(1, (n - 1).bit_length())
+    full = max(1, (n - 1).bit_length())
+    rounds = full if rounds is None else min(full, max(1, rounds))
     pads = tuple(jnp.full((n,), idv, x.dtype)
                  for x, idv in zip(xs, identities))
 
@@ -76,7 +80,8 @@ def fill_any_32(starts, value_bits, total_cap: int):
     return fill_any_multi(starts, (value_bits,), total_cap)[0]
 
 
-def fill_any_multi(starts, value_bits_tuple, total_cap: int):
+def fill_any_multi(starts, value_bits_tuple, total_cap: int,
+                   rounds=None):
     """Forward-fill SEVERAL per-segment int32 bit patterns in one scan.
 
     stream_j[k] = value_bits_tuple[j][s] for the largest s with
@@ -105,7 +110,7 @@ def fill_any_multi(starts, value_bits_tuple, total_cap: int):
         return tuple(jnp.where(take_b, xb, xa) for xa, xb in zip(a, b))
 
     out = fori_scan(comb, (guard[:-1],) + tuple(x[:-1] for x in bits),
-                    (-1,) + (0,) * len(bits))
+                    (-1,) + (0,) * len(bits), rounds=rounds)
     return out[1:]
 
 
