@@ -37,7 +37,7 @@ bool write_column(const std::string& path, const T* data, int64_t n,
       if (lo >= hi) return;
       std::string& out = parts[t];
       out.reserve(static_cast<size_t>((hi - lo) * 26));
-      char buf[64];
+      char buf[384];   // %.17f of the largest double is ~330 chars
       for (int64_t i = lo; i < hi; ++i) {
         int len = fmt(buf, data[i]);
         out.append(buf, len);
@@ -75,10 +75,13 @@ extern "C" int64_t write_result_files(const char* dir, const char* prefix,
     std::fclose(f);
   }
   auto int_fmt = [](char* buf, int32_t v) {
-    return std::snprintf(buf, 64, "%d\n", v);
+    return std::snprintf(buf, 384, "%d\n", v);
   };
+  // Fixed notation, 17 digits after the point: byte-identical to the
+  // reference's std::fixed << setprecision(max_digits10) dump format
+  // (spgemm.cu:1545-1560), e.g. 0.50000000000000000 rather than 0.5.
   auto val_fmt = [](char* buf, double v) {
-    return std::snprintf(buf, 64, "%.17g\n", v);
+    return std::snprintf(buf, 384, "%.17f\n", v);
   };
   if (!write_column(base + "ROWS.txt", rows, nnz, nthreads, int_fmt))
     return -1;

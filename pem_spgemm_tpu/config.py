@@ -76,6 +76,13 @@ class SpGEMMConfig:
     # both operands is below this.
     element_threshold: float = 6.0
 
+    # Element-engine implementation:
+    #   "binned" — production path: row-binned padded segments + batched
+    #              short-row sorts (ops/binned.py, f32 value path);
+    #   "merge"  — dtype-agnostic merge-sort engine (ops/element.py); the
+    #              f64 parity mode and non-f32 dtypes always use this.
+    element_impl: str = "binned"
+
     # "auto" picks the macro (dense 128x128 MXU) engine when the mean nnz
     # per occupied 128x128 macro tile of both operands is at least this.
     # See formats/macro.py — the third engine tier, for stencil/banded/

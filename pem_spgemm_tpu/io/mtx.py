@@ -175,7 +175,7 @@ def write_matrix_market(path: str, m: COOMatrix) -> None:
         f.write("%%MatrixMarket matrix coordinate real general\n")
         f.write(f"{m.shape[0]} {m.shape[1]} {m.nnz}\n")
         for r, c, v in zip(m.rows, m.cols, m.vals):
-            f.write(f"{int(r) + 1} {int(c) + 1} {v:.17g}\n")
+            f.write(f"{int(r) + 1} {int(c) + 1} {v:.17f}\n")
 
 
 _writer_lib = None
@@ -240,5 +240,5 @@ def save_result_files(outdir: str, m: COOMatrix, prefix: str = "SPGEMM_RESULT",
         f.write(f"{m.nnz}\n")
     np.savetxt(paths["ROWS"], m.rows, fmt="%d")
     np.savetxt(paths["COLS"], m.cols, fmt="%d")
-    np.savetxt(paths["VALS"], m.vals, fmt="%.17g")
+    np.savetxt(paths["VALS"], m.vals, fmt="%.17f")
     return paths

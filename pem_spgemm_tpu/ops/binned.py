@@ -1,0 +1,389 @@
+"""Binned element-level SpGEMM — the production hypersparse engine.
+
+TPU-native replacement for the merge-sort element engine (ops/element.py),
+and the analog of the reference's NSPARSE row-binning fallback (the
+reference bins rows by intermediate-product count into size classes and
+dispatches each class to a differently-shaped kernel,
+NSPARSE/spgemm_nsparse_kernel.h:1181-1302, invoked from spgemm.cu:1142).
+
+Design (derived from the measured v5e cost model, scripts/microbench5.py):
+a global lax.sort runs at ~0.16 Gelem/s because a comparison network pays
+log2(N)^2 VPU substeps per element; but products of one C row only ever
+need sorting WITHIN the row.  So: bin C rows by product count, lay each
+row's products in a padded power-of-two-slot segment, and run BATCHED
+short-row sorts — log2(S)^2 substeps, a ~10x measured win (34ms vs 390ms
+at 63M elements).  Everything else is arithmetic and one row-granular
+gather; there are NO scatters and NO per-element gathers:
+
+  1. B conversion chops every B row into W-slot chunks stored in a padded
+     chunk table (NC+1, 2W) holding column indices and value bits side by
+     side (one gather fetches both); tail slots carry a sentinel column.
+  2. The plan (step 1, the NSPARSE-binning analog) walks A's rows on the
+     host: each element (i,k) contributes ceil(len_k/W) chunk indices; a
+     C row with m total chunks lands in the bucket with width class
+     M >= m, padded with dummy-chunk indices (index NC, all-sentinel).
+  3. One take() per bucket expands products: (R, M) chunk indices ->
+     (R, M, 2W) -> j-keys and a_val*b_val values, padding inert.
+  4. One batched 2-operand sort per bucket orders each segment by j
+     (the C row id is implicit in the segment); sentinels sort last.
+  5. Duplicate (i,j) groups are adjacent: flags + a log2(M)-round masked
+     shifted-add scan put each group's exact total at its first slot.
+     A duplicate run cannot exceed the row's element count <= M, so the
+     scan depth is exact per bucket.
+  6. c_nnz = one global reduce over first-flags (exact), one D2H.
+
+Rows whose padded segment exceeds the bucket cap go to a residual stream
+(same chunk expansion, then one small global sort) — rare by construction
+on power-law inputs.
+
+Values are f32 (bit-packed through the chunk table); the f64 parity mode
+routes through the merge-sort engine instead (ops/element.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+SENTINEL = jnp.int32(0x7FFFFFFF)
+W = 32                      # slots per chunk
+MAX_CHUNKS = 4096           # widest bucket (131072 slots); beyond -> residual
+# chunk-count width classes: ~1.5-granular to bound padding at ~25%
+CLASSES = [1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256,
+           384, 512, 768, 1024, 1536, 2048, 3072, 4096]
+
+
+def _f2i(x):
+    return lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+
+
+def _i2f(x):
+    return lax.bitcast_convert_type(x, jnp.float32)
+
+
+# --------------------------------------------------------------------------
+# B-side: chunk table (a conversion product, cached on the operand)
+
+@partial(jax.jit, static_argnames=("w",))
+def _build_chunk_table(b_cols, b_vals, starts, ends, w):
+    """(NC+1, 2w) table: [j columns | value bits] per chunk, sentinel-padded.
+
+    One window-gather (lax.gather with slice_sizes=(w,)) per side — row
+    granular, ~22ns/chunk — plus masking; no element-level ops.
+    """
+    nc = starts.shape[0]
+    pad_c = jnp.concatenate([b_cols, jnp.full((w,), SENTINEL)])
+    pad_v = jnp.concatenate([_f2i(b_vals), jnp.zeros((w,), jnp.int32)])
+    dnums = lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,))
+    idx = starts[:, None]
+    cols_t = lax.gather(pad_c, idx, dnums, slice_sizes=(w,))
+    vals_t = lax.gather(pad_v, idx, dnums, slice_sizes=(w,))
+    within = starts[:, None] + jax.lax.broadcasted_iota(
+        jnp.int32, (nc, w), 1)
+    valid = within < ends[:, None]
+    cols_t = jnp.where(valid, cols_t, SENTINEL)
+    vals_t = jnp.where(valid, vals_t, 0)
+    table = jnp.concatenate([cols_t, vals_t], axis=1)
+    dummy = jnp.concatenate([jnp.full((1, w), SENTINEL, jnp.int32),
+                             jnp.zeros((1, w), jnp.int32)], axis=1)
+    return jnp.concatenate([table, dummy], axis=0)
+
+
+@dataclasses.dataclass(frozen=True)
+class ChunkedB:
+    """B in chunk-table form (conversion product)."""
+
+    table: jax.Array        # (NC+1, 2W) i32
+    cptr: np.ndarray        # (n_rows+1,) host: chunk offset per B row
+    lens: np.ndarray        # (n_rows,) host: B row lengths
+    w: int
+
+    @property
+    def nc(self) -> int:
+        return int(self.table.shape[0]) - 1
+
+
+def chunk_b(b, w: int = W) -> ChunkedB:
+    """Chunk a TiledMatrix operand's element CSR (cached per matrix)."""
+    cache = getattr(b, "_chunk_cache", None)
+    if cache is not None and cache.w == w:
+        return cache
+    b_rowptr, _r, b_cols, b_vals = b.element_csr()
+    rowptr = np.asarray(b_rowptr, np.int64)
+    lens = np.diff(rowptr)
+    nch = -(-lens // w)                      # 0 for empty rows
+    cptr = np.concatenate([[0], np.cumsum(nch)]).astype(np.int64)
+    nc = int(cptr[-1])
+    # chunk c of row k starts at rowptr[k] + (c - cptr[k]) * w
+    owner = np.repeat(np.arange(len(lens)), nch)
+    within = np.arange(nc) - cptr[:-1][owner]
+    starts = (rowptr[:-1][owner] + within * w).astype(np.int32)
+    ends = rowptr[1:][owner].astype(np.int32)
+    table = _build_chunk_table(b_cols, b_vals,
+                               jnp.asarray(starts), jnp.asarray(ends), w)
+    cache = ChunkedB(table=table, cptr=cptr, lens=lens, w=w)
+    object.__setattr__(b, "_chunk_cache", cache)
+    return cache
+
+
+# --------------------------------------------------------------------------
+# A-side plan: the binning step (reference NSPARSE bin setup analog)
+
+@dataclasses.dataclass(frozen=True)
+class Bucket:
+    m: int                  # chunks per segment (width class)
+    src: jax.Array          # (R, m) i32 chunk indices (NC = dummy)
+    avals: jax.Array        # (R, m) f32 A value per chunk
+    seg_rows: jax.Array     # (R,) i32 C row per segment
+    n_rows: int             # true segment count (R is bucketed capacity)
+
+
+@dataclasses.dataclass(frozen=True)
+class BinnedPlan:
+    """Everything the fixed step needs; structure-only (reusable while the
+    operands' sparsity is unchanged)."""
+
+    buckets: tuple          # tuple[Bucket]
+    res_src: jax.Array      # (RC,) i32 residual chunk indices
+    res_avals: jax.Array    # (RC,) f32
+    res_rows: jax.Array     # (RC,) i32 C row per residual chunk
+    n_res_chunks: int
+    w: int
+    n_products: int
+    table: jax.Array        # ChunkedB.table
+
+    def run(self):
+        """One overflow-free dispatch set: see binned_multiply."""
+        return binned_multiply(self)
+
+
+def build_plan(a, b, w: int = W, max_chunks: int = MAX_CHUNKS,
+               row_cap_gran=None) -> BinnedPlan:
+    """Bin A's rows by product-chunk count (host numpy, fully vectorized;
+    the timed step-1 analog of the reference's NSPARSE binning setup
+    set_row_nnz/set_min_bin, spgemm.cu:1144-1151).
+    """
+    from pem_spgemm_tpu.config import round_up_bucket
+    gran = row_cap_gran or round_up_bucket
+    cb = chunk_b(b, w)
+    a_rowptr, a_rows_s, a_cols_s, a_vals_s = a.element_csr()
+    a_cols = np.asarray(a_cols_s, np.int64)
+    a_vals = np.asarray(a_vals_s, np.float32)
+    a_rowptr_np = np.asarray(a_rowptr, np.int64)
+    n_rows_a = len(a_rowptr_np) - 1
+    a_owner_row = np.repeat(np.arange(n_rows_a), np.diff(a_rowptr_np))
+
+    lens = cb.lens[a_cols]                       # B-row length per element
+    ech = (-(-lens // w)).astype(np.int64)       # chunks per element
+    n_products = int(lens.sum())
+
+    row_chunks = np.bincount(a_owner_row, weights=ech,
+                             minlength=n_rows_a).astype(np.int64)
+
+    # global per-chunk expansion (vectorized): chunk index in B's table,
+    # A value, owning C row — in (row, element, chunk) order
+    total_chunks = int(ech.sum())
+    ch_owner = np.repeat(np.arange(len(ech)), ech)       # element per chunk
+    ch_within = np.arange(total_chunks) - np.repeat(
+        np.cumsum(ech) - ech, ech)
+    ch_idx = (cb.cptr[a_cols[ch_owner]] + ch_within).astype(np.int32)
+    ch_aval = a_vals[ch_owner]
+    ch_row = a_owner_row[ch_owner]
+    # rank of each chunk within its C row
+    row_chunk_start = np.concatenate([[0], np.cumsum(row_chunks)])
+    ch_rank = np.arange(total_chunks) - row_chunk_start[ch_row]
+
+    classes = np.asarray([c for c in CLASSES if c <= max_chunks])
+    cls_of_row = np.searchsorted(classes, row_chunks)    # len(classes)=resid
+    live = row_chunks > 0
+
+    buckets = []
+    for ci, m in enumerate(classes):
+        rows_c = np.nonzero(live & (cls_of_row == ci))[0]
+        if len(rows_c) == 0:
+            continue
+        r_cap = gran(len(rows_c))
+        seg_of_row = np.full(n_rows_a, -1, np.int64)
+        seg_of_row[rows_c] = np.arange(len(rows_c))
+        sel = seg_of_row[ch_row] >= 0
+        flat = seg_of_row[ch_row[sel]] * m + ch_rank[sel]
+        src = np.full(r_cap * m, cb.nc, np.int32)
+        av = np.zeros(r_cap * m, np.float32)
+        src[flat] = ch_idx[sel]
+        av[flat] = ch_aval[sel]
+        seg_rows = np.full((r_cap,), SENTINEL, np.int32)
+        seg_rows[:len(rows_c)] = rows_c
+        buckets.append(Bucket(
+            m=int(m), src=jnp.asarray(src.reshape(r_cap, m)),
+            avals=jnp.asarray(av.reshape(r_cap, m)),
+            seg_rows=jnp.asarray(seg_rows), n_rows=len(rows_c)))
+
+    # residual: rows too wide for any bucket (flat stream)
+    res_sel = (cls_of_row >= len(classes)) & live
+    sel = res_sel[ch_row]
+    res_src_r = ch_idx[sel]
+    res_avals_r = ch_aval[sel]
+    res_rowids_r = ch_row[sel].astype(np.int32)
+    n_res = len(res_src_r)
+    rc_cap = gran(max(1, n_res))
+    pad = rc_cap - n_res
+    res_src = np.concatenate([res_src_r, np.full(pad, cb.nc, np.int32)])
+    res_avals = np.concatenate([res_avals_r, np.zeros(pad, np.float32)])
+    res_rowids = np.concatenate(
+        [res_rowids_r, np.full(pad, SENTINEL, np.int32)])
+
+    return BinnedPlan(
+        buckets=tuple(buckets),
+        res_src=jnp.asarray(res_src), res_avals=jnp.asarray(res_avals),
+        res_rows=jnp.asarray(res_rowids), n_res_chunks=n_res,
+        w=w, n_products=n_products, table=cb.table)
+
+
+# --------------------------------------------------------------------------
+# Execution: one take + one batched sort + one dedup scan per bucket
+
+def _ceil_log2(x: int) -> int:
+    return max(1, int(x - 1).bit_length()) if x > 1 else 0
+
+
+@partial(jax.jit, static_argnames=("m", "w"))
+def bucket_multiply(table, src, avals, m, w):
+    """Expand + sort + dedup one bucket.
+
+    Returns (keys (R, m*w) i32 sorted j per segment, vals (R, m*w) f32
+    with each (i,j) group's total at its first slot, first (R, m*w) bool,
+    count scalar i32).
+    """
+    r = src.shape[0]
+    raw = table[src]                                  # (R, m, 2w) row take
+    cols = raw[:, :, :w].reshape(r, m * w)
+    bvals = _i2f(raw[:, :, w:]).reshape(r, m * w)
+    vals = bvals * jnp.repeat(avals, w, axis=1)
+    key, vals = lax.sort((cols, vals), num_keys=1, dimension=1)
+    valid = key != SENTINEL
+    first = valid & jnp.concatenate(
+        [jnp.ones((r, 1), jnp.bool_), key[:, 1:] != key[:, :-1]], axis=1)
+    # group totals at first slots: reversed segmented inclusive scan.
+    # A duplicate run has <= (row element count) <= m members, so
+    # ceil_log2(m) shifted-add rounds reach every group exactly.
+    last = jnp.concatenate(
+        [key[:, 1:] != key[:, :-1], jnp.ones((r, 1), jnp.bool_)], axis=1)
+    f = last[:, ::-1]
+    s = vals[:, ::-1]
+    for rd in range(_ceil_log2(m) + 1 if m > 1 else 0):
+        sh = 1 << rd
+        if sh >= m * w:
+            break
+        s_sh = jnp.pad(s, ((0, 0), (sh, 0)))[:, :-sh]
+        f_sh = jnp.pad(f, ((0, 0), (sh, 0)),
+                       constant_values=True)[:, :-sh]
+        s = s + jnp.where(f, 0.0, s_sh)
+        f = f | f_sh
+    vals = s[:, ::-1]
+    count = jnp.sum(first.astype(jnp.int32))
+    return key, vals, first, count
+
+
+@partial(jax.jit, static_argnames=("w",))
+def residual_multiply(table, src, avals, rowids, w):
+    """Expand residual chunks and sort globally by (i, j); linear dedup.
+
+    Returns (rows, cols, vals, first, count) flat arrays (RC*w,).
+    """
+    rc = src.shape[0]
+    raw = table[src]                                  # (RC, 2w)
+    cols = raw[:, :w].reshape(-1)
+    bvals = _i2f(raw[:, w:]).reshape(-1)
+    vals = bvals * jnp.repeat(avals, w)
+    rows = jnp.repeat(rowids, w)
+    rows = jnp.where(cols == SENTINEL, SENTINEL, rows)
+    rows, cols, vals = lax.sort((rows, cols, vals), num_keys=2)
+    n = rc * w
+    valid = cols != SENTINEL
+    first = valid & jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), (rows[1:] != rows[:-1])
+         | (cols[1:] != cols[:-1])])
+    last = jnp.concatenate(
+        [(rows[1:] != rows[:-1]) | (cols[1:] != cols[:-1]),
+         jnp.ones((1,), jnp.bool_)])
+    f = last[::-1]
+    s = vals[::-1]
+    rounds = _ceil_log2(n)
+    for rd in range(rounds):
+        sh = 1 << rd
+        if sh >= n:
+            break
+        s_sh = jnp.pad(s, (sh, 0))[:-sh]
+        f_sh = jnp.pad(f, (sh, 0), constant_values=True)[:-sh]
+        s = s + jnp.where(f, 0.0, s_sh)
+        f = f | f_sh
+    vals = s[::-1]
+    return rows, cols, vals, first, jnp.sum(first.astype(jnp.int32))
+
+
+@dataclasses.dataclass
+class BinnedStream:
+    """C in bucketed stream form (the engine's native timed output, the
+    analog of the reference's compressed tiled C).  Group totals sit at
+    first-flagged slots; sentinel-keyed slots are padding."""
+
+    bucket_keys: tuple      # per bucket: (R, m*w) i32 j, sorted per segment
+    bucket_vals: tuple      # per bucket: (R, m*w) f32 group totals at first
+    bucket_first: tuple     # per bucket: (R, m*w) bool
+    bucket_rows: tuple      # per bucket: (R,) i32 C row per segment
+    res: tuple              # (rows, cols, vals, first) flat residual
+    c_nnz: object           # device scalar until the caller syncs (int() it)
+
+    def to_coo_arrays(self):
+        """Untimed assembly -> sorted global COO (host numpy), the
+        sanitize_C analog (spgemm.cu:1493-1560)."""
+        rs, cs, vs = [], [], []
+        for k, v, f, rows in zip(self.bucket_keys, self.bucket_vals,
+                                 self.bucket_first, self.bucket_rows):
+            fm = np.asarray(f)
+            kk = np.asarray(k)[fm]
+            vv = np.asarray(v)[fm]
+            rr = np.broadcast_to(np.asarray(rows)[:, None],
+                                 fm.shape)[fm]
+            rs.append(rr)
+            cs.append(kk)
+            vs.append(vv)
+        rrows, rcols, rvals, rfirst = self.res
+        fm = np.asarray(rfirst)
+        rs.append(np.asarray(rrows)[fm])
+        cs.append(np.asarray(rcols)[fm])
+        vs.append(np.asarray(rvals)[fm])
+        rows = np.concatenate(rs)
+        cols = np.concatenate(cs)
+        vals = np.concatenate(vs)
+        order = np.lexsort((cols, rows))
+        assert len(rows) == int(self.c_nnz), (len(rows), int(self.c_nnz))
+        return rows[order], cols[order], vals[order]
+
+
+def binned_multiply(plan: BinnedPlan) -> BinnedStream:
+    """Execute the planned binned multiply (device; one D2H for c_nnz)."""
+    keys, vals, firsts, rowids = [], [], [], []
+    total = jnp.zeros((), jnp.int32)
+    for b in plan.buckets:
+        k, v, f, cnt = bucket_multiply(plan.table, b.src, b.avals,
+                                       b.m, plan.w)
+        keys.append(k)
+        vals.append(v)
+        firsts.append(f)
+        rowids.append(b.seg_rows)
+        total = total + cnt
+    rr, rc_, rv, rf, rcnt = residual_multiply(
+        plan.table, plan.res_src, plan.res_avals, plan.res_rows, plan.w)
+    total = total + rcnt
+    return BinnedStream(
+        bucket_keys=tuple(keys), bucket_vals=tuple(vals),
+        bucket_first=tuple(firsts), bucket_rows=tuple(rowids),
+        res=(rr, rc_, rv, rf), c_nnz=total)

@@ -110,13 +110,16 @@ def _macro_sort_phase(rows, cols, vals):
     tc = (cols >> 7).astype(jnp.int32)
     intra = (((rows & 127) << 7) | (cols & 127)).astype(jnp.int32)
     key = pack_key(tr, tc)
-    key, intra, vals = lax.sort((key, intra, vals), num_keys=1)
+    key, intra, vals = lax.sort((key, intra, vals), num_keys=2)
+    same_tile = key[1:] == key[:-1]
     new_tile = jnp.concatenate([
-        jnp.ones((1,), jnp.int32),
-        (key[1:] != key[:-1]).astype(jnp.int32)])
+        jnp.ones((1,), jnp.int32), (~same_tile).astype(jnp.int32)])
     tile_id = (jnp.cumsum(new_tile) - 1).astype(jnp.int32)
     cnt = tile_id[-1] + 1
-    return key, intra, vals, tile_id, cnt
+    # Duplicate coordinates would silently last-write-win in the dense
+    # scatter; detect them (adjacent after the 2-key sort) to fail fast.
+    n_dup = jnp.sum((same_tile & (intra[1:] == intra[:-1])).astype(jnp.int32))
+    return key, intra, vals, tile_id, cnt, n_dup
 
 
 @partial(jax.jit, static_argnames=("tile_cap", "n_macro_rows",
@@ -129,7 +132,11 @@ def _macro_build_phase(key, intra, vals, tile_id, tile_cap, n_macro_rows,
         tr.astype(jnp.int32))
     tile_col = jnp.full((tile_cap,), n_macro_cols, jnp.int32).at[tile_id].set(
         tc.astype(jnp.int32))
-    pos = tile_id * (128 * 128) + intra
+    # Tiles beyond an undersized tile_cap must be DROPPED, not folded into
+    # the reserved all-zero padding tile at index tile_cap (pair reads of
+    # padding depend on it staying zero): route them out of range.
+    pos = jnp.where(tile_id < tile_cap, tile_id * (128 * 128) + intra,
+                    (tile_cap + 1) * (128 * 128))
     dense = jnp.zeros(((tile_cap + 1) * 128 * 128,), vals.dtype).at[pos].set(
         vals, mode="drop").reshape(tile_cap + 1, 128, 128)
     counts = jnp.bincount(tile_row, length=n_macro_rows + 1)[:n_macro_rows]
@@ -153,8 +160,13 @@ def coo_to_macro(coo: COOMatrix, dtype=jnp.float32,
     rows = jnp.asarray(coo.rows, jnp.int32)
     cols = jnp.asarray(coo.cols, jnp.int32)
     vals = jnp.asarray(coo.vals, dtype)
-    key, intra, vals_s, tile_id, cnt = _macro_sort_phase(rows, cols, vals)
+    key, intra, vals_s, tile_id, cnt, n_dup = _macro_sort_phase(
+        rows, cols, vals)
     ntiles = int(cnt)  # single D2H size feedback
+    if int(n_dup):
+        raise ValueError(
+            f"{int(n_dup)} duplicate coordinates; the dense macro format "
+            "requires canonical COO — call COOMatrix.sum_duplicates() first")
     cap = tile_cap if tile_cap is not None else round_up_bucket(ntiles)
     tile_row, tile_col, tile_rowptr, dense = _macro_build_phase(
         key, intra, vals_s, tile_id, cap, n_mr, n_mc)
@@ -172,7 +184,8 @@ def tiled_to_macro(t: TiledMatrix, tile_cap: int | None = None):
     if not can_pack(n_mr, n_mc):
         raise ValueError("macro grid exceeds packed-key range")
     rows, cols = t.element_coords()
-    key, intra, vals_s, tile_id, cnt = _macro_sort_phase(rows, cols, t.vals)
+    key, intra, vals_s, tile_id, cnt, _n_dup = _macro_sort_phase(
+        rows, cols, t.vals)   # t is canonical by construction
     ntiles = int(cnt)
     cap = tile_cap if tile_cap is not None else round_up_bucket(ntiles)
     tile_row, tile_col, tile_rowptr, dense = _macro_build_phase(

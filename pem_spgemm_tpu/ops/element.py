@@ -261,17 +261,21 @@ def element_fixed(a_rows, a_cols, a_vals, b_rowptr, b_cols, b_vals,
     interactive run.  Mirrors the reference's steady-state repeat loop,
     which re-runs its three steps with unchanged sizes (spgemm.cu:1133-1357).
 
-    Returns C in stream form (see expand_reduce_products): (rows, cols,
-    vals, first, c_nnz).  (c_cap is accepted for plan compatibility;
-    outputs are sized p_cap + nnz_b + 1.)
+    Returns C in stream form (see expand_reduce_products) plus an overflow
+    flag: (rows, cols, vals, first, c_nnz, overflow).  overflow True =>
+    p_cap < true product count and the result is truncated; the caller
+    must re-plan with a larger capacity (bench/harness.py does).  (c_cap
+    is accepted for plan compatibility; outputs are sized
+    p_cap + nnz_b + 1.)
     """
     del c_cap
     b_row_nnz = b_rowptr[1:] - b_rowptr[:-1]
     offsets = product_offsets(a_cols, b_row_nnz)
     n_products = jnp.minimum(offsets[-1], p_cap)
-    return expand_reduce_products(
+    out = expand_reduce_products(
         offsets, a_rows, a_cols, a_vals, b_rowptr, b_cols, b_vals,
         n_products, p_cap, fill_rounds, merge_rounds, sum_rounds)
+    return out + (offsets[-1] > p_cap,)
 
 
 @partial(jax.jit, static_argnames=("c_cap",))

@@ -24,34 +24,33 @@ import jax.numpy as jnp
 from pem_spgemm_tpu.ops import symbolic, cstruct, numeric
 
 
-@partial(jax.jit, static_argnames=("p_cap", "c_cap", "chunk",
+@partial(jax.jit, static_argnames=("p_cap", "c_cap", "c_nnz_cap", "chunk",
                                    "acc_dtype", "precision", "packed"))
 def spgemm_fixed(a_tile_row, a_tile_col, a_flat,
                  b_tile_rowptr, b_tile_col, b_flat,
-                 ntiles_a, *, p_cap, c_cap, chunk,
+                 ntiles_a, *, p_cap, c_cap, c_nnz_cap, chunk,
                  acc_dtype=jnp.float32, precision="highest", packed=False):
     """One-shot fused-engine tiled SpGEMM at static capacities.
 
     Operands arrive as high-level tile structure + dense flat value tables
     (TiledMatrix.dense_flat(), built once at conversion like the
-    reference's tiled arrays).  The timed step covers symbolic pair
-    expansion, fused numeric+structural accumulation, and mask/nnz
-    derivation — the analog of the reference's per-iteration steps 1-3
-    (spgemm.cu:1133-1357).
+    reference's tiled arrays).  The step covers symbolic pair expansion,
+    fused numeric+structural accumulation, mask/nnz derivation, intra-tile
+    coordinates, and COMPRESSED tile-major value emission — the full span
+    the reference times per iteration (steps 1-3 incl. CrowColIdx and the
+    compressed Ctiles_vals writes, spgemm.cu:1133-1357); only global COO
+    emission (sanitize_C) remains untimed assembly.
 
-    Returns (c_tile_row, c_tile_col, cmask, cptr, c_dense, c_nnz): C in
-    tiled form — tile coordinates, exact row bitmasks, the per-tile nnz
-    scan, and DENSE flat (c_cap, 2, 128) value tiles.  Dense value tiles
-    are this framework's native C value layout (the MXU writes them
-    directly); compressed tile-major values / global COO are derived by
-    the untimed assembly step, exactly as the reference derives COO in
-    sanitize_C outside its timed region (spgemm.cu:1493-1560).  Capacities
-    must dominate the true sizes (p_cap >= pairs, c_cap >= C tiles) or
-    results are truncated.
+    Returns (c_tile_row, c_tile_col, cmask, cptr, c_rowcol, c_elem_tile,
+    c_vals, c_nnz, overflow): C in compressed tiled form.  `overflow` is a
+    device bool — True when any capacity was exceeded (p_cap < pairs,
+    c_cap < C tiles, or c_nnz_cap < C nnz), in which case results are
+    TRUNCATED and the caller must re-plan with larger capacities
+    (bench/harness.py does).
     """
     offsets = symbolic.pair_counts(a_tile_col, b_tile_rowptr, ntiles_a)
     n_pairs = jnp.minimum(offsets[-1], p_cap)
-    c_row, c_col, a_idx, b_idx, c_tile_id, _cnt_c = symbolic.expand_pairs(
+    c_row, c_col, a_idx, b_idx, c_tile_id, cnt_c = symbolic.expand_pairs(
         offsets, a_tile_row, a_tile_col, b_tile_rowptr, b_tile_col,
         n_pairs, p_cap, packed)
     c_dense, c_counts = numeric.accumulate_fused_flat(
@@ -60,7 +59,12 @@ def spgemm_fixed(a_tile_row, a_tile_col, a_flat,
     c_tile_row, c_tile_col = cstruct.c_tile_coords(
         c_tile_id, c_row, c_col, c_cap)
     cmask, cptr = numeric.counts_to_masks(c_counts.reshape(c_cap, 16, 16))
-    return (c_tile_row, c_tile_col, cmask, cptr, c_dense, cptr[-1])
+    c_rowcol, c_elem_tile = cstruct.c_rowcol(cmask, cptr, c_nnz_cap)
+    c_vals = numeric.extract_values(c_dense, c_rowcol, c_elem_tile)
+    overflow = ((offsets[-1] > p_cap) | (cnt_c > c_cap)
+                | (cptr[-1] > c_nnz_cap))
+    return (c_tile_row, c_tile_col, cmask, cptr, c_rowcol, c_elem_tile,
+            c_vals, cptr[-1], overflow)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -81,9 +85,15 @@ class SpGEMMPlan:
             a.tile_row, a.tile_col, a.dense_flat(),
             b.tile_rowptr, b.tile_col, b.dense_flat(),
             jnp.int32(a.ntiles), p_cap=self.p_cap, c_cap=self.c_cap,
-            chunk=self.chunk,
+            c_nnz_cap=self.c_nnz_cap, chunk=self.chunk,
             acc_dtype=self.acc_dtype, precision=self.precision,
             packed=self.packed)
+
+    def grown(self):
+        """Next-size plan after an overflow trip (double every capacity)."""
+        return dataclasses.replace(self, p_cap=self.p_cap * 2,
+                                   c_cap=self.c_cap * 2,
+                                   c_nnz_cap=self.c_nnz_cap * 2)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -97,9 +107,14 @@ class MacroPlan:
     precision: str
     use_pallas: bool = False
 
+    def grown(self):
+        """Next-size plan after an overflow trip (double every capacity)."""
+        return dataclasses.replace(self, p_cap=self.p_cap * 2,
+                                   c_cap=self.c_cap * 2)
+
     def run(self, a, b):
         """One dispatch: (c_tile_row, c_tile_col, c_dense, c_counts, cptr,
-        c_nnz)."""
+        c_nnz, overflow)."""
         from pem_spgemm_tpu.formats.macro import MacroMatrix
         from pem_spgemm_tpu.ops.macro import macro_spgemm_fixed
         am = a if isinstance(a, MacroMatrix) else a.macro()
@@ -114,6 +129,31 @@ class MacroPlan:
 
 
 @dataclasses.dataclass(frozen=True)
+class BinnedElementPlan:
+    """Fixed-step adapter for the binned element engine (ops/binned.py).
+
+    The plan arrays are exact-structure (no capacities to overflow): the
+    binning derives every bucket from the true chunk counts, so `overflow`
+    is constantly False; a sparsity change requires re-planning, which the
+    harness does per matrix.
+    """
+
+    plan: object            # ops.binned.BinnedPlan
+
+    def grown(self):
+        return self
+
+    def run(self, a, b):
+        """Dispatch the planned multiply; returns (c_nnz_device, overflow).
+        The c_nnz scalar depends on every bucket, so syncing it fences the
+        whole multiply."""
+        import jax.numpy as _jnp
+        from pem_spgemm_tpu.ops.binned import binned_multiply
+        stream = binned_multiply(self.plan)
+        return stream.c_nnz, _jnp.zeros((), _jnp.bool_)
+
+
+@dataclasses.dataclass(frozen=True)
 class ElementPlan:
     """Static capacities for the element-level engine's fixed step."""
 
@@ -123,8 +163,14 @@ class ElementPlan:
     merge_rounds: object = None
     sum_rounds: object = None
 
+    def grown(self):
+        """Next-size plan after an overflow trip (double every capacity)."""
+        return dataclasses.replace(self, p_cap=self.p_cap * 2,
+                                   c_cap=self.c_cap * 2)
+
     def run(self, a, b):
-        """One dispatch: C stream form (rows, cols, vals, first, c_nnz)."""
+        """One dispatch: C stream form (rows, cols, vals, first, c_nnz,
+        overflow)."""
         from pem_spgemm_tpu.ops.element import element_fixed
         b_rowptr, _b_rows, b_cols, b_vals = b.element_csr()
         a_rows, a_cols = a.element_coords()
@@ -152,6 +198,9 @@ def make_plan(result, config, a, b):
 
     if result.engine == "element":
         import numpy as np
+        if result.binned is not None:
+            from pem_spgemm_tpu.ops.binned import build_plan
+            return BinnedElementPlan(plan=build_plan(a, b))
         from pem_spgemm_tpu.ops.element import scan_round_bounds
         b_rowptr = np.asarray(b.element_csr()[0])
         a_rows_np, a_cols_np = (np.asarray(x) for x in a.element_coords())

@@ -93,7 +93,9 @@ def macro_spgemm_fixed(a_tile_row, a_tile_col, a_dense,
     use_pallas=True routes accumulation through the windowed grid-pipeline
     Pallas kernel (ops/pallas_macro2.py — TPU only; requires
     p_cap % 1024 == 0 and acc_dtype float32).  Returns (c_tile_row,
-    c_tile_col, c_dense, c_counts, cptr, c_nnz); c_counts is bf16.
+    c_tile_col, c_dense, c_counts, cptr, c_nnz, overflow); c_counts is
+    bf16.  `overflow` True => a capacity was exceeded and the result is
+    truncated; re-plan with larger caps (bench/harness.py does).
     """
     from pem_spgemm_tpu.ops import cstruct
     offsets = symbolic.pair_counts(a_tile_col, b_tile_rowptr, ntiles_a)
@@ -115,7 +117,8 @@ def macro_spgemm_fixed(a_tile_row, a_tile_col, a_dense,
     c_tile_row, c_tile_col = cstruct.c_tile_coords(
         c_tile_id, c_row, c_col, c_cap)
     cptr = macro_structure(c_counts)
-    return c_tile_row, c_tile_col, c_dense, c_counts, cptr, cptr[-1]
+    overflow = (offsets[-1] > p_cap) | (cnt > c_cap)
+    return c_tile_row, c_tile_col, c_dense, c_counts, cptr, cptr[-1], overflow
 
 
 def assemble_macro_coo(c_tile_row, c_tile_col, c_dense, c_counts, c_nnz):

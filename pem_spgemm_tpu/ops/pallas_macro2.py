@@ -57,12 +57,22 @@ def _kernel(pa_ref, pb_ref, info_ref, prev_in,
         carry_n[:] = carry_n_in[:]
         carry_p[:] = carry_p_in[:]
 
-    # Entering a block: start from its current HBM content (chained across
-    # windows via aliasing), then flush the spill carry of block-1.
-    @pl.when(b0 != prev)
+    # Seed the output VMEM window from the block's current HBM content
+    # (chained across windows via aliasing) whenever the window cannot
+    # already hold it: on block entry, and on the FIRST grid step of every
+    # pallas_call — on hardware output windows are uninitialized at i == 0
+    # even when b0 == prev (block straddling a WINDOW boundary), where the
+    # b0 != prev seed alone would accumulate onto garbage.
+    @pl.when((b0 != prev) | (i == 0))
     def _():
         c_num_ref[:] = cn_in[:]
         c_pat_ref[:] = cp_in[:]
+
+    # Entering a block: flush the spill carry of block-1 into its leading
+    # tiles.  NOT on a straddling i == 0 (b0 == prev): the carry there
+    # holds spills that target block b0+1, not b0.
+    @pl.when(b0 != prev)
+    def _():
         c_num_ref[0:CH] += carry_n[:]
         c_pat_ref[0:CH] += carry_p[:]
         carry_n[:] = jnp.zeros_like(carry_n)
@@ -105,17 +115,21 @@ def _kernel(pa_ref, pb_ref, info_ref, prev_in,
 
 
 @functools.partial(jax.jit, static_argnames=("c_cap", "precision",
-                                             "interpret"))
+                                             "interpret", "window"))
 def accumulate_macro_pipelined(a_dense, b_dense, a_idx, b_idx, seg, cnt_c,
-                               c_cap, precision="highest", interpret=False):
+                               c_cap, precision="highest", interpret=False,
+                               window=WINDOW):
     """Fused macro accumulation, grid-pipeline gather edition.
 
     Same contract as pallas_macro.accumulate_macro_pallas; p_cap must be a
-    multiple of CH.  Arbitrary pair-stream lengths run as chained WINDOW
-    calls.
+    multiple of CH.  Arbitrary pair-stream lengths run as chained `window`
+    calls (default WINDOW; tests shrink it to force multi-window chaining
+    on small streams).
     """
+    WINDOW = window
     p_cap = a_idx.shape[0]
     assert p_cap % CH == 0, (p_cap, CH)
+    assert WINDOW % CH == 0, (WINDOW, CH)
     c_cap_r = -(-c_cap // BC) * BC
     n_blocks = c_cap_r // BC
 

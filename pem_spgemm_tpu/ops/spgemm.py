@@ -55,12 +55,19 @@ class SpGEMMResult:
     rows: Optional[jax.Array] = None         # (c_cap,) i32
     cols: Optional[jax.Array] = None         # (c_cap,) i32
     first: Optional[jax.Array] = None        # (c_cap,) i32 group-start flags
+    # bucketed stream form (engine == "element", production f32 path):
+    # ops/binned.BinnedStream — padded per-C-row segments with group
+    # totals at first-flagged slots
+    binned: Optional[object] = None
     # macro form (engine == "macro"): dense 128x128 C tiles + counts
     c_counts: Optional[jax.Array] = None     # (c_cap, 128, 128) f32
 
     def to_coo(self) -> COOMatrix:
         """Assemble + sort to canonical global COO (host)."""
         n = self.c_nnz
+        if self.binned is not None:
+            rows, cols, vals = self.binned.to_coo_arrays()
+            return COOMatrix(rows, cols, vals, self.shape)
         if self.engine == "macro":
             from pem_spgemm_tpu.ops.macro import assemble_macro_coo
             rows, cols, vals = assemble_macro_coo(
@@ -82,6 +89,17 @@ class SpGEMMResult:
             self.vals, jnp.int32(n))
         return COOMatrix(np.asarray(rows)[:n], np.asarray(cols)[:n],
                          np.asarray(vals)[:n], self.shape)
+
+
+def _empty_result(shape, engine: str) -> "SpGEMMResult":
+    """A structurally empty C.  The reference emits an empty COO result and
+    still reports/benchmarks (its count kernels produce _C_nnz == 0 and the
+    pipeline completes; spgemm.cu:1133-1357) — so an empty product is a
+    result, not an error."""
+    z32 = jnp.zeros((0,), jnp.int32)
+    return SpGEMMResult(
+        vals=jnp.zeros((0,), jnp.float32), shape=shape, c_nnz=0, n_pairs=0,
+        engine=engine, rows=z32, cols=z32)
 
 
 class SpGEMM:
@@ -129,7 +147,7 @@ class SpGEMM:
                 a.tile_col, b.tile_rowptr, jnp.int32(a.ntiles))
             n_pairs = int(offsets[-1])            # D2H size feedback #1
             if n_pairs == 0:
-                raise ValueError("structurally empty product")
+                return _empty_result((a.shape[0], b.shape[1]), "fused")
             p_cap = max(cfg.numeric_chunk, round_up_pow2(n_pairs))
             from pem_spgemm_tpu.ops.scanops import can_pack
             packed = can_pack(a.n_tile_rows, b.n_tile_cols)
@@ -178,14 +196,20 @@ class SpGEMM:
                     c_cap, cfg.numeric_chunk, cfg.acc(), cfg.precision)
                 box["sync"] = c_dense
 
-        # Untimed assembly-side derivation: intra-tile coordinates and
-        # compressed tile-major values from (masks, dense value tiles) —
-        # the analog of the reference's sanitize_C, which likewise runs
-        # outside the timed region (spgemm.cu:1493-1560).
+        # Per-nnz derivation stays TIMED: the reference times the
+        # equivalent work inside its repeat loop — step 2c builds
+        # Ctiles_rowColIdx between the allocate_c events (spgemm.cu:
+        # 1301-1308) and step 3 writes compressed Ctiles_vals directly
+        # (spgemm.cu:1316-1335); only sanitize_C's COO emission is
+        # untimed.  (ADVICE.md round 1, medium.)
         c_nnz_cap = round_up_bucket(c_nnz)
-        c_rowcol, c_elem_tile = cstruct.c_rowcol(cmask, cptr, c_nnz_cap)
-        c_vals = numeric.extract_values(
-            c_dense, c_rowcol, c_elem_tile).astype(cfg.dtype)
+        with timers.phase("step2") as box:      # ref step 2c
+            c_rowcol, c_elem_tile = cstruct.c_rowcol(cmask, cptr, c_nnz_cap)
+            box["sync"] = c_rowcol
+        with timers.phase("step3") as box:      # ref step 3's compressed emit
+            c_vals = numeric.extract_values(
+                c_dense, c_rowcol, c_elem_tile).astype(cfg.dtype)
+            box["sync"] = c_vals
 
         return SpGEMMResult(
             vals=c_vals, shape=(a.shape[0], b.shape[1]), c_nnz=c_nnz,
@@ -210,7 +234,7 @@ class SpGEMM:
                 am.tile_col, bm.tile_rowptr, jnp.int32(am.ntiles))
             n_pairs = int(offsets[-1])        # D2H size feedback #1
             if n_pairs == 0:
-                raise ValueError("structurally empty product")
+                return _empty_result((a.shape[0], b.shape[1]), "macro")
             chunk = cfg.macro_chunk
             p_cap = max(chunk, -(-n_pairs // chunk) * chunk)
             assert can_pack(am.n_macro_rows, bm.n_macro_cols)
@@ -243,9 +267,17 @@ class SpGEMM:
 
     def _element(self, a: TiledMatrix, b: TiledMatrix,
                  timers: PhaseTimers) -> SpGEMMResult:
-        """Element-level engine (ops/element.py): flop-proportional."""
+        """Element-level engine: flop-proportional.
+
+        Production f32 path: the binned batched-sort engine (ops/binned.py,
+        the NSPARSE-binning analog).  The f64 parity mode routes through
+        the merge-sort engine (ops/element.py), whose movement is dtype-
+        agnostic sorts."""
         from pem_spgemm_tpu.ops import element
         cfg = self.config
+        if (cfg.element_impl == "binned"
+                and jnp.dtype(cfg.dtype) == jnp.dtype(jnp.float32)):
+            return self._element_binned(a, b, timers)
 
         with timers.phase("step1") as box:
             b_rowptr, _b_rows, b_cols, b_vals = b.element_csr()
@@ -254,7 +286,7 @@ class SpGEMM:
             offsets = element.product_offsets(a_cols, b_row_nnz)
             n_products = int(offsets[-1])         # D2H size feedback #1
             if n_products == 0:
-                raise ValueError("structurally empty product")
+                return _empty_result((a.shape[0], b.shape[1]), "element")
             box["sync"] = offsets
 
         with timers.phase("step3") as box:
@@ -276,3 +308,32 @@ class SpGEMM:
             vals=vals.astype(cfg.dtype), shape=(a.shape[0], b.shape[1]),
             c_nnz=c_nnz, n_pairs=n_products, engine="element",
             rows=rows, cols=cols, first=first)
+
+    def _element_binned(self, a: TiledMatrix, b: TiledMatrix,
+                        timers: PhaseTimers) -> SpGEMMResult:
+        """Binned element engine (ops/binned.py).  Phase mapping:
+        step1 = chunk binning plan (reference NSPARSE bin setup,
+        spgemm.cu:1144-1151); step3 = expansion + batched segment sorts +
+        group reduction (fused numeric+structural, like the fused Tile16
+        engine); step2 = exact-nnz reduce + D2H."""
+        from pem_spgemm_tpu.ops import binned
+
+        with timers.phase("step1") as box:
+            plan = binned.build_plan(a, b)
+            if plan.n_products == 0:
+                return _empty_result((a.shape[0], b.shape[1]), "element")
+            box["sync"] = plan.res_src
+
+        with timers.phase("step3") as box:
+            stream = binned.binned_multiply(plan)
+            box["sync"] = (stream.bucket_vals[-1] if stream.bucket_vals
+                           else stream.res[2])
+
+        with timers.phase("step2"):
+            c_nnz = int(stream.c_nnz)             # the one D2H feedback
+            stream.c_nnz = c_nnz
+
+        return SpGEMMResult(
+            vals=stream.res[2], shape=(a.shape[0], b.shape[1]),
+            c_nnz=c_nnz, n_pairs=plan.n_products, engine="element",
+            binned=stream)

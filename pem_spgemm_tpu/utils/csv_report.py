@@ -49,6 +49,14 @@ class BenchmarkRecord:
     pem_spgemm_kernel_time: float
     pem_spgemm_malloc_time: float
     gflops: float
+    # Extensions beyond the reference's 14 columns (NOT written to the CSV,
+    # reported on stdout): steady-state fixed-capacity replay time — the
+    # production serving path with pre-compiled plans (ops/fixed.py).  The
+    # reference has no such mode (it re-runs cudaMallocAsync + 3 D2H size
+    # feedbacks every repeat, spgemm.cu:1135-1357), so the CSV keeps the
+    # reference's per-iteration methodology for pem_spgemm_time/Gflops.
+    steady_state_time: float = 0.0
+    steady_gflops: float = 0.0
 
     def csv_row(self) -> str:
         return (f"{self.matrix},{self.flop},{self.c_nnz},"
@@ -93,4 +101,9 @@ def report_stdout(record: BenchmarkRecord) -> str:
         f"pem_spgemm malloc time      : {r.pem_spgemm_malloc_time:.4f} ms",
         f"GFlops                      : {r.gflops:.4f}",
     ]
+    if r.steady_state_time:
+        lines += [
+            f"steady-state time (plan)    : {r.steady_state_time:.4f} ms",
+            f"steady-state GFlops         : {r.steady_gflops:.4f}",
+        ]
     return "\n".join(lines)

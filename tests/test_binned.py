@@ -1,0 +1,108 @@
+"""Binned element engine (ops/binned.py): exactness vs scipy."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from conftest import random_sparse
+from pem_spgemm_tpu.config import SpGEMMConfig
+from pem_spgemm_tpu.formats.coo import COOMatrix
+from pem_spgemm_tpu.models.synthetic import power_law
+from pem_spgemm_tpu.ops.convert import coo_to_tiled
+from pem_spgemm_tpu.ops.spgemm import SpGEMM
+from pem_spgemm_tpu.ops import binned
+
+
+def _check(coo, b_coo=None, **plan_kw):
+    a = coo_to_tiled(coo, dtype=np.float32)
+    b = a if b_coo is None else coo_to_tiled(b_coo, dtype=np.float32)
+    sa = coo.to_scipy().tocsr()
+    sb = sa if b_coo is None else b_coo.to_scipy().tocsr()
+    want = (sa @ sb).tocoo()
+    want.sum_duplicates()
+    plan = binned.build_plan(a, b, **plan_kw)
+    stream = binned.binned_multiply(plan)
+    stream.c_nnz = int(stream.c_nnz)
+    assert stream.c_nnz == want.nnz, (stream.c_nnz, want.nnz)
+    rows, cols, vals = stream.to_coo_arrays()
+    order = np.lexsort((want.col, want.row))
+    np.testing.assert_array_equal(rows, want.row[order])
+    np.testing.assert_array_equal(cols, want.col[order])
+    np.testing.assert_allclose(vals, want.data[order], rtol=1e-5, atol=1e-6)
+    return plan
+
+
+def test_binned_power_law():
+    coo = power_law(n=3000, nnz=9000, seed=3, hub_correlation=0.1)
+    _check(coo)
+
+
+def test_binned_uniform():
+    m = random_sparse(900, 900, 0.003, seed=7)
+    _check(COOMatrix.from_scipy(m))
+
+
+def test_binned_rectangular():
+    a = COOMatrix.from_scipy(random_sparse(300, 500, 0.01, seed=1))
+    b = COOMatrix.from_scipy(random_sparse(500, 200, 0.01, seed=2))
+    _check(a, b)
+
+
+def test_binned_residual_path():
+    # tiny max_chunks forces most rows through the residual stream
+    coo = power_law(n=2000, nnz=8000, seed=5, hub_correlation=0.2)
+    plan = _check(coo, max_chunks=2)
+    assert plan.n_res_chunks > 0, "expected residual rows at max_chunks=2"
+
+
+def test_binned_cancellation_keeps_structure():
+    # +1 and -1 products on the same (i, j): value 0.0 but structurally
+    # present (exact-structure semantics, like the reference)
+    rows = np.array([0, 0, 1, 2], np.int32)
+    cols = np.array([1, 2, 3, 3], np.int32)
+    vals = np.array([1.0, 1.0, 1.0, -1.0], np.float32)
+    coo = COOMatrix(rows, cols, vals, (4, 4))
+    a = coo_to_tiled(coo, dtype=np.float32)
+    plan = binned.build_plan(a, a)
+    stream = binned.binned_multiply(plan)
+    stream.c_nnz = int(stream.c_nnz)
+    # structural nnz = nnz of the boolean product (scipy may prune the
+    # cancelled zero, so compare against the pattern product)
+    m = coo.to_scipy().toarray()
+    want_nnz = int((((m != 0).astype(int) @ (m != 0).astype(int)) != 0).sum())
+    assert stream.c_nnz == want_nnz
+    r, c, v = stream.to_coo_arrays()
+    # C[0,3] = 1*1 + 1*(-1) = 0.0, structurally present
+    i = np.nonzero((r == 0) & (c == 3))[0]
+    assert len(i) == 1 and v[i[0]] == 0.0
+
+
+def test_binned_through_spgemm_api():
+    coo = power_law(n=4000, nnz=14000, seed=11, hub_correlation=0.15)
+    cfg = SpGEMMConfig(engine="element")
+    a = coo_to_tiled(coo, dtype=np.float32)
+    r = SpGEMM(cfg)(a, a)
+    assert r.binned is not None, "f32 element path must use the binned impl"
+    s = coo.to_scipy().tocsr()
+    want = (s @ s).tocoo()
+    want.sum_duplicates()
+    assert r.c_nnz == want.nnz
+    got = r.to_coo().to_scipy()
+    np.testing.assert_allclose(got.toarray(), want.toarray(),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_binned_empty_b_rows():
+    # A columns referencing empty B rows produce nothing
+    a = COOMatrix(np.array([0, 1], np.int32), np.array([10, 11], np.int32),
+                  np.array([2.0, 3.0], np.float32), (32, 32))
+    b = COOMatrix(np.array([10], np.int32), np.array([5], np.int32),
+                  np.array([4.0], np.float32), (32, 32))
+    ta = coo_to_tiled(a, dtype=np.float32)
+    tb = coo_to_tiled(b, dtype=np.float32)
+    plan = binned.build_plan(ta, tb)
+    assert plan.n_products == 1
+    stream = binned.binned_multiply(plan)
+    assert int(stream.c_nnz) == 1
+    r, c, v = stream.to_coo_arrays()
+    assert r[0] == 0 and c[0] == 5 and v[0] == 8.0

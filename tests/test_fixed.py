@@ -22,30 +22,56 @@ def test_planned_matches_interactive():
     plan = make_plan(res, cfg, a, b)
     out = plan.run(a, b)
     jax.block_until_ready(out)
-    c_tile_row, c_tile_col, cmask, cptr, c_dense, c_nnz = out
+    (c_tile_row, c_tile_col, cmask, cptr, c_rowcol, c_elem_tile, c_vals,
+     c_nnz, overflow) = out
     assert int(c_nnz) == res.c_nnz
+    assert not bool(overflow)
     n = res.c_nnz
     assert (np.asarray(cmask) == np.asarray(res.cmask)).all()
-    # assembly-side derivation of compressed values from the dense tiles
-    from pem_spgemm_tpu.ops import cstruct, numeric
-    c_rowcol, c_elem_tile = cstruct.c_rowcol(cmask, cptr, plan.c_nnz_cap)
-    c_vals = numeric.extract_values(c_dense, c_rowcol, c_elem_tile)
     assert (np.asarray(c_rowcol)[:n] == np.asarray(res.rowcol)[:n]).all()
     np.testing.assert_allclose(np.asarray(c_vals)[:n],
                                np.asarray(res.vals)[:n], rtol=1e-6)
 
 
+def test_plan_overflow_flag_and_regrow():
+    """An undersized plan must TRIP the overflow flag, and grown() plans
+    must converge to a correct run (the silent-truncation guard)."""
+    import dataclasses
+    m = random_sparse(400, 400, 0.01, seed=11)
+    coo = COOMatrix.from_scipy(m)
+    a = coo_to_tiled(coo, dtype=np.float32)
+    cfg = SpGEMMConfig(numeric_chunk=1 << 10, engine="fused")
+    res = SpGEMM(cfg)(a, a)
+    plan = make_plan(res, cfg, a, a)
+    small = dataclasses.replace(plan, p_cap=1 << 10,
+                                c_cap=max(256, plan.c_cap // 4),
+                                c_nnz_cap=max(1024, plan.c_nnz_cap // 4))
+    out = small.run(a, a)
+    assert bool(out[-1]), "undersized plan must report overflow"
+    grown = small
+    for _ in range(8):
+        out = grown.run(a, a)
+        if not bool(out[-1]):
+            break
+        grown = grown.grown()
+    assert not bool(out[-1])
+    assert int(out[-2]) == res.c_nnz
+
+
 def test_planned_element_matches_scipy():
+    # legacy merge-sort element engine (the f64-parity implementation)
     m = random_sparse(700, 700, 0.002, seed=9)   # hypersparse -> element
     coo = COOMatrix.from_scipy(m)
     a = coo_to_tiled(coo, dtype=np.float32)
     b = coo_to_tiled(coo, dtype=np.float32)
-    cfg = SpGEMMConfig(numeric_chunk=1 << 10, engine="element")
+    cfg = SpGEMMConfig(numeric_chunk=1 << 10, engine="element",
+                       element_impl="merge")
     res = SpGEMM(cfg)(a, b)
     plan = make_plan(res, cfg, a, b)
-    rows, cols, vals, first, c_nnz = plan.run(a, b)
+    rows, cols, vals, first, c_nnz, overflow = plan.run(a, b)
     jax.block_until_ready(vals)
     assert int(c_nnz) == res.c_nnz
+    assert not bool(overflow)
     want = (m @ m).tocoo()
     want.sum_duplicates()
     n = int(c_nnz)

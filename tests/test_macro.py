@@ -67,8 +67,10 @@ def test_macro_plan_matches_interactive():
     a, res = _check_macro(coo, cfg)
     plan = make_plan(res, cfg, a, a)
     assert isinstance(plan, MacroPlan)
-    c_tile_row, c_tile_col, c_dense, c_counts, cptr, c_nnz = plan.run(a, a)
+    (c_tile_row, c_tile_col, c_dense, c_counts, cptr, c_nnz,
+     overflow) = plan.run(a, a)
     assert int(c_nnz) == res.c_nnz
+    assert not bool(overflow)
     rows, cols, vals = assemble_macro_coo(c_tile_row, c_tile_col, c_dense,
                                           c_counts, c_nnz)
     ref = res.to_coo()

@@ -80,14 +80,9 @@ def test_pallas_macro_pipelined_matches_xla():
     c_cap = max(4, -(-int(cnt) // 4) * 4)
     ref_n, ref_c = macro.accumulate_macro(
         m.dense, m.dense, a_idx, b_idx, c_tile_id, c_cap, 32, jnp.float32)
-    old_w = pm2.WINDOW
-    try:
-        pm2.WINDOW = 64          # force multi-window chaining
-        got_n, got_c = pm2.accumulate_macro_pipelined(
-            m.dense, m.dense, a_idx, b_idx, c_tile_id, cnt, c_cap,
-            interpret=True)
-    finally:
-        pm2.WINDOW = old_w
+    got_n, got_c = pm2.accumulate_macro_pipelined(
+        m.dense, m.dense, a_idx, b_idx, c_tile_id, cnt, c_cap,
+        interpret=True, window=64)   # force multi-window chaining
     n_c = int(cnt)
     np.testing.assert_allclose(np.asarray(got_n)[:n_c],
                                np.asarray(ref_n)[:n_c],
