@@ -136,6 +136,16 @@ def chunk_b(b, w: int = W) -> ChunkedB:
 # --------------------------------------------------------------------------
 # A-side plan: the binning step (reference NSPARSE bin setup analog)
 
+def quarter_pow2(n: int) -> int:
+    """Smallest x >= n of the form 2^k * (4..7)/4 — caps padding at 25%
+    while keeping the distinct static shapes per class logarithmic."""
+    n = max(1, int(n))
+    if n <= 4:
+        return n
+    k = (n - 1).bit_length() - 3
+    return -(-n >> k) << k
+
+
 @dataclasses.dataclass(frozen=True)
 class Bucket:
     m: int                  # chunks per segment (width class)
@@ -143,6 +153,9 @@ class Bucket:
     avals: jax.Array        # (R, m) f32 A value per chunk
     seg_rows: jax.Array     # (R,) i32 C row per segment
     n_rows: int             # true segment count (R is bucketed capacity)
+    single: bool = False    # True: every segment is one A element's B row
+                            # slice — already j-sorted, duplicates
+                            # impossible, so sort+dedup are skipped
 
 
 @dataclasses.dataclass(frozen=True)
@@ -170,8 +183,7 @@ def build_plan(a, b, w: int = W, max_chunks: int = MAX_CHUNKS,
     the timed step-1 analog of the reference's NSPARSE binning setup
     set_row_nnz/set_min_bin, spgemm.cu:1144-1151).
     """
-    from pem_spgemm_tpu.config import round_up_bucket
-    gran = row_cap_gran or round_up_bucket
+    gran = row_cap_gran or quarter_pow2
     cb = chunk_b(b, w)
     a_rowptr, a_rows_s, a_cols_s, a_vals_s = a.element_csr()
     a_cols = np.asarray(a_cols_s, np.int64)
@@ -200,34 +212,74 @@ def build_plan(a, b, w: int = W, max_chunks: int = MAX_CHUNKS,
     row_chunk_start = np.concatenate([[0], np.cumsum(row_chunks)])
     ch_rank = np.arange(total_chunks) - row_chunk_start[ch_row]
 
-    classes = np.asarray([c for c in CLASSES if c <= max_chunks])
-    cls_of_row = np.searchsorted(classes, row_chunks)    # len(classes)=resid
-    live = row_chunks > 0
+    # rows with exactly one A element take the sort-free fast path:
+    # their products are one B-row slice — already j-sorted, no duplicates
+    row_elems = np.diff(a_rowptr_np)
+    is_single = row_elems == 1
 
+    base_classes = np.asarray([c for c in CLASSES if c <= max_chunks])
+    n_base = len(base_classes)
+    # class space: [0, n_base) multi-element, [n_base, 2*n_base) single,
+    # 2*n_base residual, 2*n_base+1 dead
+    classes = np.concatenate([base_classes, base_classes])
+    n_cls = len(classes)
+    cls_of_row = np.searchsorted(base_classes, row_chunks)
+    resid = cls_of_row >= n_base
+    cls_of_row = np.where(is_single & ~resid, cls_of_row + n_base,
+                          cls_of_row)
+    cls_of_row[resid] = n_cls
+    cls_of_row[row_chunks == 0] = n_cls + 1              # dead rows last
+
+    # Single-pass bucket assembly: every chunk's flat destination across
+    # ALL buckets is computed in one vectorized sweep (no per-class scans
+    # over the chunk array), then one fancy-index write fills one flat
+    # buffer whose per-bucket regions are sliced into device views.
+    live_rows = np.nonzero(row_chunks > 0)[0]
+    order = np.argsort(cls_of_row[live_rows], kind="stable")
+    rows_sorted = live_rows[order]                  # grouped by class, by i
+    cls_sorted = cls_of_row[live_rows][order]
+    n_per_cls = np.bincount(cls_sorted, minlength=n_cls + 1)[:n_cls + 1]
+    caps = np.array([gran(c) if c else 0 for c in n_per_cls[:n_cls]],
+                    np.int64)
+    m_of_cls = np.concatenate([classes, [1]])       # residual "m" unused
+    region_sizes = caps * classes
+    region_base = np.concatenate([[0], np.cumsum(region_sizes)])
+    flat_total = int(region_base[-1])
+
+    # per-row: its segment rank within its class, then per-chunk flat dst
+    cls_start = np.concatenate([[0], np.cumsum(n_per_cls)])
+    seg_within = np.empty(n_rows_a, np.int64)
+    seg_within[rows_sorted] = (np.arange(len(rows_sorted))
+                               - cls_start[cls_sorted])
+    ch_cls = cls_of_row[ch_row]
+    in_bucket = ch_cls < n_cls
+    dst = (region_base[np.minimum(ch_cls, n_cls - 1)]
+           + seg_within[ch_row] * m_of_cls[np.minimum(ch_cls, n_cls - 1)]
+           + ch_rank)
+    src_flat = np.full(flat_total, cb.nc, np.int32)
+    av_flat = np.zeros(flat_total, np.float32)
+    src_flat[dst[in_bucket]] = ch_idx[in_bucket]
+    av_flat[dst[in_bucket]] = ch_aval[in_bucket]
+
+    src_dev = jnp.asarray(src_flat)
+    av_dev = jnp.asarray(av_flat)
     buckets = []
-    for ci, m in enumerate(classes):
-        rows_c = np.nonzero(live & (cls_of_row == ci))[0]
-        if len(rows_c) == 0:
+    for ci in range(n_cls):
+        if n_per_cls[ci] == 0:
             continue
-        r_cap = gran(len(rows_c))
-        seg_of_row = np.full(n_rows_a, -1, np.int64)
-        seg_of_row[rows_c] = np.arange(len(rows_c))
-        sel = seg_of_row[ch_row] >= 0
-        flat = seg_of_row[ch_row[sel]] * m + ch_rank[sel]
-        src = np.full(r_cap * m, cb.nc, np.int32)
-        av = np.zeros(r_cap * m, np.float32)
-        src[flat] = ch_idx[sel]
-        av[flat] = ch_aval[sel]
+        m = int(classes[ci])
+        r_cap = int(caps[ci])
+        lo, hi = int(region_base[ci]), int(region_base[ci + 1])
         seg_rows = np.full((r_cap,), SENTINEL, np.int32)
-        seg_rows[:len(rows_c)] = rows_c
+        seg_rows[:n_per_cls[ci]] = rows_sorted[cls_start[ci]:cls_start[ci+1]]
         buckets.append(Bucket(
-            m=int(m), src=jnp.asarray(src.reshape(r_cap, m)),
-            avals=jnp.asarray(av.reshape(r_cap, m)),
-            seg_rows=jnp.asarray(seg_rows), n_rows=len(rows_c)))
+            m=m, src=src_dev[lo:hi].reshape(r_cap, m),
+            avals=av_dev[lo:hi].reshape(r_cap, m),
+            seg_rows=jnp.asarray(seg_rows), n_rows=int(n_per_cls[ci]),
+            single=ci >= n_base))
 
     # residual: rows too wide for any bucket (flat stream)
-    res_sel = (cls_of_row >= len(classes)) & live
-    sel = res_sel[ch_row]
+    sel = ch_cls == n_cls
     res_src_r = ch_idx[sel]
     res_avals_r = ch_aval[sel]
     res_rowids_r = ch_row[sel].astype(np.int32)
@@ -287,6 +339,21 @@ def bucket_multiply(table, src, avals, m, w):
         s = s + jnp.where(f, 0.0, s_sh)
         f = f | f_sh
     vals = s[:, ::-1]
+    count = jnp.sum(first.astype(jnp.int32))
+    return key, vals, first, count
+
+
+@partial(jax.jit, static_argnames=("m", "w"))
+def bucket_multiply_single(table, src, avals, m, w):
+    """Sort-free fast path for single-A-element rows: the segment is one
+    B-row slice — already sorted by j, and duplicates are impossible
+    (columns within a B row are distinct).  Expansion + masking only."""
+    r = src.shape[0]
+    raw = table[src]
+    key = raw[:, :, :w].reshape(r, m * w)
+    bvals = _i2f(raw[:, :, w:]).reshape(r, m * w)
+    vals = bvals * jnp.repeat(avals, w, axis=1)
+    first = key != SENTINEL
     count = jnp.sum(first.astype(jnp.int32))
     return key, vals, first, count
 
@@ -373,8 +440,8 @@ def binned_multiply(plan: BinnedPlan) -> BinnedStream:
     keys, vals, firsts, rowids = [], [], [], []
     total = jnp.zeros((), jnp.int32)
     for b in plan.buckets:
-        k, v, f, cnt = bucket_multiply(plan.table, b.src, b.avals,
-                                       b.m, plan.w)
+        fn = bucket_multiply_single if b.single else bucket_multiply
+        k, v, f, cnt = fn(plan.table, b.src, b.avals, b.m, plan.w)
         keys.append(k)
         vals.append(v)
         firsts.append(f)
