@@ -28,20 +28,33 @@ from pem_spgemm_tpu.utils.timing import force_sync
 from functools import partial
 
 
-@partial(jax.jit, static_argnames=("p", "precision"))
-def tilewise(a_dense, b_dense, pa, pb, p, precision="highest"):
-    """pa/pb: (T, p) padded pair indices per C tile."""
+@partial(jax.jit, static_argnames=("p", "precision", "chunk"))
+def tilewise(a_dense, b_dense, pa, pb, p, precision="highest", chunk=2048):
+    """pa/pb: (T, p) padded pair indices per C tile; T % chunk == 0.
+    Chunked over tiles: each chunk's output is FINAL (no scatter-add)."""
     t = pa.shape[0]
-    ad = a_dense[pa.reshape(-1)].reshape(t, p, 128, 128)
-    bd = b_dense[pb.reshape(-1)].reshape(t, p, 128, 128)
+    assert t % chunk == 0
     prec = dict(highest=lax.Precision.HIGHEST,
                 default=lax.Precision.DEFAULT)[precision]
-    num = jnp.einsum("tpij,tpjk->tik", ad, bd,
-                     preferred_element_type=jnp.float32, precision=prec)
-    pat = jnp.einsum("tpij,tpjk->tik", (ad != 0).astype(jnp.bfloat16),
-                     (bd != 0).astype(jnp.bfloat16),
-                     preferred_element_type=jnp.bfloat16)
-    return num, pat
+
+    def body(i, carry):
+        num, pat = carry
+        pa_c = lax.dynamic_slice_in_dim(pa, i * chunk, chunk)
+        pb_c = lax.dynamic_slice_in_dim(pb, i * chunk, chunk)
+        ad = a_dense[pa_c.reshape(-1)].reshape(chunk, p, 128, 128)
+        bd = b_dense[pb_c.reshape(-1)].reshape(chunk, p, 128, 128)
+        n = jnp.einsum("tpij,tpjk->tik", ad, bd,
+                       preferred_element_type=jnp.float32, precision=prec)
+        q = jnp.einsum("tpij,tpjk->tik", (ad != 0).astype(jnp.bfloat16),
+                       (bd != 0).astype(jnp.bfloat16),
+                       preferred_element_type=jnp.bfloat16)
+        num = lax.dynamic_update_slice_in_dim(num, n, i * chunk, 0)
+        pat = lax.dynamic_update_slice_in_dim(pat, q, i * chunk, 0)
+        return num, pat
+
+    init = (jnp.zeros((t, 128, 128), jnp.float32),
+            jnp.zeros((t, 128, 128), jnp.bfloat16))
+    return lax.fori_loop(0, t // chunk, body, init)
 
 
 def main():
@@ -58,57 +71,55 @@ def main():
     n_tiles = int(cnt)
     print(f"pairs={n_pairs} c_tiles={n_tiles}", flush=True)
 
-    # host: pad pairs per tile to uniform P
-    segn = np.asarray(seg)[:n_pairs]
-    pan = np.asarray(a_idx)[:n_pairs]
-    pbn = np.asarray(b_idx)[:n_pairs]
-    counts = np.bincount(segn, minlength=n_tiles)
-    P = int(counts.max())
+    from pem_spgemm_tpu.ops import pallas_macro3 as pm3
     zero_a = m.dense.shape[0] - 1
-    pa = np.full((n_tiles, P), zero_a, np.int32)
-    pb = np.full((n_tiles, P), zero_a, np.int32)
-    rank = np.arange(n_pairs) - np.concatenate(
-        [[0], np.cumsum(counts)])[segn]
-    pa[segn, rank] = pan
-    pb[segn, rank] = pbn
-    print(f"P={P} padded={n_tiles*P} ({n_tiles*P/n_pairs:.2f}x)", flush=True)
-    pa_d, pb_d = jnp.asarray(pa), jnp.asarray(pb)
+    t0 = time.perf_counter()
+    plan = pm3.plan_tilewise(seg, a_idx, b_idx, n_pairs, n_tiles, zero_a)
+    print(f"plan: {1e3*(time.perf_counter()-t0):.1f} ms, "
+          f"classes={[mt for mt in plan.class_meta]} "
+          f"res_tiles={plan.n_res_tiles} slab={plan.slab_total} "
+          f"c_cap={plan.c_cap}", flush=True)
 
-    for prec in ("highest", "default"):
-        out = tilewise(m.dense, m.dense, pa_d, pb_d, P, prec)
-        force_sync(out[0])
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            out = tilewise(m.dense, m.dense, pa_d, pb_d, P, prec)
-            force_sync(out[0])
-            ts.append(time.perf_counter() - t0)
-        print(f"tilewise {prec}: {min(ts)*1e3:.1f} ms", flush=True)
-
-    # reference: current chunked scatter-add path
-    out = macro.accumulate_macro(m.dense, m.dense, a_idx, b_idx, seg,
-                                 -(-n_tiles // 256) * 256, 256,
-                                 jnp.float32, "highest")
+    out = pm3.tilewise_accumulate(m.dense, m.dense, plan, "highest")
     force_sync(out[0])
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
-        out = macro.accumulate_macro(m.dense, m.dense, a_idx, b_idx, seg,
-                                     -(-n_tiles // 256) * 256, 256,
-                                     jnp.float32, "highest")
+        out = pm3.tilewise_accumulate(m.dense, m.dense, plan, "highest")
         force_sync(out[0])
         ts.append(time.perf_counter() - t0)
-    print(f"chunked scatter-add highest: {min(ts)*1e3:.1f} ms", flush=True)
+    print(f"pallas3 tilewise highest: {min(ts)*1e3:.1f} ms", flush=True)
+    x_n = np.asarray(out[0][:plan.slab_total])
+    x_p = np.asarray(out[1][:plan.slab_total], np.float32)
+    del out
 
-    # correctness spot check vs chunked
-    num_t, pat_t = tilewise(m.dense, m.dense, pa_d, pb_d, P, "highest")
-    num_c, _ = macro.accumulate_macro(m.dense, m.dense, a_idx, b_idx, seg,
-                                      -(-n_tiles // 256) * 256, 256,
-                                      jnp.float32, "highest")
-    x = np.asarray(num_t[:200])
-    y = np.asarray(num_c[:200])
-    err = np.max(np.abs(x - y) / np.maximum(np.abs(y), 1e-30))
-    print(f"max rel err vs chunked (200 tiles): {err:.2e}", flush=True)
+    # current production path for comparison
+    from pem_spgemm_tpu.ops import pallas_macro2 as pm2
+    c_cap2 = -(-n_tiles // 4) * 4
+    out2 = pm2.accumulate_macro_pipelined(m.dense, m.dense, a_idx, b_idx,
+                                          seg, cnt, c_cap2, "highest")
+    force_sync(out2[0])
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out2 = pm2.accumulate_macro_pipelined(m.dense, m.dense, a_idx,
+                                              b_idx, seg, cnt, c_cap2,
+                                              "highest")
+        force_sync(out2[0])
+        ts.append(time.perf_counter() - t0)
+    print(f"pallas2 pipelined highest: {min(ts)*1e3:.1f} ms", flush=True)
+
+    # correctness vs v2 on all tiles (slab order -> sorted order)
+    y_n = np.asarray(out2[0][:n_tiles])
+    y_p = np.asarray(out2[1][:n_tiles], np.float32)
+    order = plan.order
+    real = order < n_tiles
+    err = np.max(np.abs(x_n[real] - y_n[order[real]])
+                 / np.maximum(np.abs(y_n[order[real]]), 1e-30))
+    pat_ok = np.array_equal(x_p[real] > 0, y_p[order[real]] > 0)
+    covered = np.unique(order[real]).size == n_tiles
+    print(f"pallas3 vs pallas2: max rel err {err:.2e} pattern_ok={pat_ok} "
+          f"covered={covered}", flush=True)
 
 
 if __name__ == "__main__":

@@ -27,7 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from pem_spgemm_tpu.utils.timing import force_sync
 
-NROWS = 200_000          # elements to expand in the probe
+NROWS = 100_000          # elements to expand in the probe
 K = 256                  # copies per grid step
 
 
@@ -99,9 +99,10 @@ def probe_hbm2hbm(W, nrows=NROWS, label=""):
 
 
 def main():
+    # Mosaic constraint: HBM slices must be 128-aligned in the lane dim,
+    # so rows are probed at widths 128/256 only.
     print("device:", jax.devices()[0], flush=True)
-    probe_hbm2hbm(64)
-    probe_hbm2hbm(16)
+    probe_hbm2hbm(128)
     probe_hbm2hbm(256)
 
 
