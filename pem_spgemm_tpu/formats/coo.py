@@ -13,6 +13,11 @@ import dataclasses
 import numpy as np
 
 
+def _is_device_array(x) -> bool:
+    """True for jax arrays (without importing jax at module load)."""
+    return type(x).__module__.startswith("jax")
+
+
 @dataclasses.dataclass
 class COOMatrix:
     """COO triplets on the host. rows/cols int32, vals any float dtype."""
@@ -23,9 +28,16 @@ class COOMatrix:
     shape: tuple  # (n_rows, n_cols)
 
     def __post_init__(self):
-        self.rows = np.ascontiguousarray(self.rows, dtype=np.int32)
-        self.cols = np.ascontiguousarray(self.cols, dtype=np.int32)
-        self.vals = np.ascontiguousarray(self.vals)
+        # Device (jax) triplets stay on device: coercing them through numpy
+        # would round-trip the data over the host boundary — in particular
+        # it silently moved the H2D transfer INSIDE the timed conversion
+        # kernels in the benchmark harness.
+        if not _is_device_array(self.rows):
+            self.rows = np.ascontiguousarray(self.rows, dtype=np.int32)
+        if not _is_device_array(self.cols):
+            self.cols = np.ascontiguousarray(self.cols, dtype=np.int32)
+        if not _is_device_array(self.vals):
+            self.vals = np.ascontiguousarray(self.vals)
         if not (len(self.rows) == len(self.cols) == len(self.vals)):
             raise ValueError("COO triplet arrays must have equal length")
 
@@ -41,7 +53,9 @@ class COOMatrix:
     def to_scipy(self):
         import scipy.sparse as sp
         return sp.coo_matrix(
-            (self.vals, (self.rows, self.cols)), shape=self.shape)
+            (np.asarray(self.vals), (np.asarray(self.rows),
+                                     np.asarray(self.cols))),
+            shape=self.shape)
 
     @staticmethod
     def from_scipy(m) -> "COOMatrix":

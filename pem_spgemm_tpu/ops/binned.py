@@ -104,6 +104,8 @@ class ChunkedB:
     cptr: np.ndarray        # (n_rows+1,) host: chunk offset per B row
     lens: np.ndarray        # (n_rows,) host: B row lengths
     w: int
+    cptr_dev: jax.Array = None   # device copies (for device-side planning)
+    lens_dev: jax.Array = None
 
     @property
     def nc(self) -> int:
@@ -128,7 +130,9 @@ def chunk_b(b, w: int = W) -> ChunkedB:
     ends = rowptr[1:][owner].astype(np.int32)
     table = _build_chunk_table(b_cols, b_vals,
                                jnp.asarray(starts), jnp.asarray(ends), w)
-    cache = ChunkedB(table=table, cptr=cptr, lens=lens, w=w)
+    cache = ChunkedB(table=table, cptr=cptr, lens=lens, w=w,
+                     cptr_dev=jnp.asarray(cptr, jnp.int32),
+                     lens_dev=jnp.asarray(lens, jnp.int32))
     object.__setattr__(b, "_chunk_cache", cache)
     return cache
 
@@ -295,6 +299,201 @@ def build_plan(a, b, w: int = W, max_chunks: int = MAX_CHUNKS,
         buckets=tuple(buckets),
         res_src=jnp.asarray(res_src), res_avals=jnp.asarray(res_avals),
         res_rows=jnp.asarray(res_rowids), n_res_chunks=n_res,
+        w=w, n_products=n_products, table=cb.table)
+
+
+# --------------------------------------------------------------------------
+# Device-side plan: the same binning, computed on the accelerator.
+#
+# The host plan (build_plan) costs ~350ms of numpy plus a ~33MB H2D of the
+# per-chunk arrays — acceptable over PCIe, pathological over this dev
+# environment's tunnel, and host-bound either way.  The device plan keeps
+# everything on the accelerator: ONE small D2H (class counts) sizes the
+# static shapes, then a second jitted phase lays out every bucket.  No
+# row sort is needed: per-class ranks come from a (n_rows, n_cls) one-hot
+# column cumsum.
+
+@partial(jax.jit, static_argnames=("w", "n_base"))
+def _plan_classify(a_rowptr, a_cols, lens_dev, classes_dev, w, n_base):
+    """Per-row class assignment + the count vector for static sizing.
+
+    Returns (cls (n_rows,) i32, ech (nnz,) i32, stats) where stats packs
+    [per-class counts (2*n_base+2) | total_chunks | res_chunks |
+     products_hi | products_lo] for a single D2H.
+    """
+    lens_e = lens_dev[a_cols]
+    ech = jnp.where(lens_e > 0, -(-lens_e // w), 0).astype(jnp.int32)
+    pref = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                            jnp.cumsum(ech, dtype=jnp.int32)])
+    row_chunks = pref[a_rowptr[1:]] - pref[a_rowptr[:-1]]
+    row_elems = a_rowptr[1:] - a_rowptr[:-1]
+    # searchsorted over the tiny class table via broadcast compare
+    cls = jnp.sum((row_chunks[:, None] > classes_dev[None, :])
+                  .astype(jnp.int32), axis=1)
+    resid = cls >= n_base
+    single = (row_elems == 1) & ~resid
+    cls = jnp.where(single, cls + n_base, cls)
+    cls = jnp.where(resid, 2 * n_base, cls)
+    cls = jnp.where(row_chunks == 0, 2 * n_base + 1, cls).astype(jnp.int32)
+    counts = jnp.bincount(cls, length=2 * n_base + 2)
+    total_chunks = pref[-1]
+    res_chunks = jnp.sum(jnp.where(cls == 2 * n_base, row_chunks, 0),
+                         dtype=jnp.int32)
+    # exact product count (may exceed 2^31): 15-bit-split chunked sums
+    m = 16384
+    pad = (-lens_e.shape[0]) % m
+    lp = jnp.concatenate([lens_e, jnp.zeros((pad,), lens_e.dtype)])
+    hi = jnp.sum(jnp.sum((lp >> 15).reshape(-1, m), axis=1,
+                         dtype=jnp.int32) >> 0, dtype=jnp.int32)
+    lo2 = jnp.sum((lp & 0x7FFF).reshape(-1, m), axis=1, dtype=jnp.int32)
+    lo_lo = jnp.sum(lo2 & 0x7FFF, dtype=jnp.int32)
+    lo_hi = jnp.sum(lo2 >> 15, dtype=jnp.int32)
+    stats = jnp.concatenate([
+        counts.astype(jnp.int32),
+        jnp.stack([total_chunks, res_chunks, hi, lo_hi, lo_lo])])
+    return cls, ech, pref, row_chunks, stats
+
+
+@partial(jax.jit, static_argnames=("chunk_cap", "flat_total", "rc_cap",
+                                   "rows_flat_total", "n_cls"))
+def _plan_layout(a_rowptr, a_cols, a_vals, cptr_dev, cls, ech, pref,
+                 row_chunks, region_base_dev, m_of_cls_dev,
+                 row_region_base_dev, res_base_scalar,
+                 chunk_cap, flat_total, rc_cap, rows_flat_total, n_cls):
+    """Jitted bucket layout: fills the combined [buckets | residual]
+    src/aval buffers and the padded per-class row-id table."""
+    from pem_spgemm_tpu.ops import scanops
+    n_rows = cls.shape[0]
+    nnz = a_cols.shape[0]
+
+    # per-class rank of each row, sort-free: one-hot column cumsum
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (n_rows, n_cls), 1)
+              == cls[:, None]).astype(jnp.int32)
+    ranks2d = jnp.cumsum(onehot, axis=0, dtype=jnp.int32) - 1
+    seg_within = jnp.take_along_axis(
+        ranks2d, jnp.minimum(cls, n_cls - 1)[:, None], axis=1)[:, 0]
+
+    in_bucket = cls < n_cls - 2                 # last two: residual, dead
+    is_res = cls == n_cls - 2
+    # residual rows lay out chunk-flat: prefix of row_chunks over residual
+    res_prefix = jnp.cumsum(jnp.where(is_res, row_chunks, 0),
+                            dtype=jnp.int32)
+    base_of_row = jnp.where(
+        in_bucket,
+        region_base_dev[jnp.minimum(cls, n_cls - 1)]
+        + seg_within * m_of_cls_dev[jnp.minimum(cls, n_cls - 1)],
+        jnp.where(is_res, res_base_scalar + res_prefix - row_chunks,
+                  flat_total + rc_cap))        # dead rows -> dropped
+
+    # per-element: owning row + destination start
+    row_of_el = scanops.segment_ids_from_offsets(a_rowptr, nnz)
+    row_of_el = jnp.minimum(row_of_el, n_rows - 1)
+    el_dst = (base_of_row[row_of_el] + pref[:-1]
+              - pref[a_rowptr[:-1]][row_of_el])
+    e0 = cptr_dev[a_cols]                       # chunk run start in table
+
+    # per-chunk: expand elements
+    el_of_ch = scanops.segment_ids_from_offsets(pref, chunk_cap)
+    el_of_ch = jnp.minimum(el_of_ch, nnz - 1)
+    ch_iota = jnp.arange(chunk_cap, dtype=jnp.int32)
+    within = ch_iota - pref[:-1][el_of_ch]
+    live_ch = ch_iota < pref[-1]
+    ch_idx = jnp.where(live_ch, e0[el_of_ch] + within, jnp.int32(1 << 30))
+    ch_dst = jnp.where(live_ch, el_dst[el_of_ch] + within,
+                       flat_total + rc_cap)
+    ch_aval = _f2i(a_vals[el_of_ch])
+    ch_row = row_of_el[el_of_ch]
+
+    nc_dummy = jnp.int32(1 << 30)               # patched by caller slice
+    src_flat = jnp.full((flat_total + rc_cap,), nc_dummy,
+                        jnp.int32).at[ch_dst].set(ch_idx, mode="drop")
+    av_flat = jnp.zeros((flat_total + rc_cap,), jnp.int32).at[ch_dst].set(
+        ch_aval, mode="drop")
+    # residual per-chunk row ids
+    res_rows = jnp.full((rc_cap,), SENTINEL, jnp.int32).at[
+        jnp.where(ch_dst >= flat_total, ch_dst - flat_total,
+                  rc_cap)].set(ch_row, mode="drop")
+    # padded per-class row-id table
+    row_dst = jnp.where(
+        in_bucket,
+        row_region_base_dev[jnp.minimum(cls, n_cls - 1)] + seg_within,
+        rows_flat_total)
+    seg_rows_flat = jnp.full((rows_flat_total,), SENTINEL,
+                             jnp.int32).at[row_dst].set(
+        jnp.arange(n_rows, dtype=jnp.int32), mode="drop")
+    return src_flat, _i2f(av_flat), res_rows, seg_rows_flat
+
+
+def build_plan_device(a, b, w: int = W, max_chunks: int = MAX_CHUNKS,
+                      row_cap_gran=None) -> BinnedPlan:
+    """Device-side binning: one small D2H between two jitted phases."""
+    gran = row_cap_gran or quarter_pow2
+    cb = chunk_b(b, w)
+    a_rowptr, _ar, a_cols, a_vals = a.element_csr()
+    base_classes = [c for c in CLASSES if c <= max_chunks]
+    n_base = len(base_classes)
+    classes_dev = jnp.asarray(base_classes, jnp.int32)
+    cls, ech, pref, row_chunks, stats = _plan_classify(
+        a_rowptr, a_cols, cb.lens_dev, classes_dev, w, n_base)
+
+    stats_h = np.asarray(stats)                 # the one D2H
+    counts = stats_h[:2 * n_base + 2].astype(np.int64)
+    total_chunks = int(stats_h[2 * n_base + 2])
+    res_chunks = int(stats_h[2 * n_base + 3])
+    n_products = ((int(stats_h[2 * n_base + 4]) << 15)
+                  + (int(stats_h[2 * n_base + 5]) << 15)
+                  + int(stats_h[2 * n_base + 6]))
+    if n_products == 0:
+        return BinnedPlan(buckets=(), res_src=jnp.full((1,), cb.nc,
+                                                       jnp.int32),
+                          res_avals=jnp.zeros((1,), jnp.float32),
+                          res_rows=jnp.full((1,), SENTINEL, jnp.int32),
+                          n_res_chunks=0, w=w, n_products=0,
+                          table=cb.table)
+
+    n_cls = 2 * n_base + 2
+    classes_all = np.concatenate([base_classes, base_classes, [1, 1]])
+    caps = np.array([gran(c) if c else 0 for c in counts], np.int64)
+    caps[n_cls - 2:] = 0
+    region_sizes = caps * classes_all
+    region_base = np.concatenate([[0], np.cumsum(region_sizes)])
+    flat_total = int(region_base[-1])
+    rc_cap = gran(max(1, res_chunks))
+    row_region_base = np.concatenate([[0], np.cumsum(caps)])
+    rows_flat_total = int(row_region_base[-1])
+    chunk_cap = quarter_pow2(max(1, total_chunks))
+
+    src_flat, av_flat, res_rows, seg_rows_flat = _plan_layout(
+        a_rowptr, a_cols, a_vals.astype(jnp.float32), cb.cptr_dev, cls,
+        ech, pref, row_chunks,
+        jnp.asarray(region_base[:-1], jnp.int32),
+        jnp.asarray(classes_all, jnp.int32),
+        jnp.asarray(row_region_base[:-1], jnp.int32),
+        jnp.int32(flat_total),
+        chunk_cap=chunk_cap, flat_total=flat_total, rc_cap=rc_cap,
+        rows_flat_total=rows_flat_total, n_cls=n_cls)
+    # dummy-chunk patch: unset slots must point at the sentinel table row
+    src_flat = jnp.where(src_flat == (1 << 30), cb.nc, src_flat)
+
+    buckets = []
+    for ci in range(n_cls - 2):
+        if counts[ci] == 0:
+            continue
+        m = int(classes_all[ci])
+        r_cap = int(caps[ci])
+        lo, hi = int(region_base[ci]), int(region_base[ci + 1])
+        rlo = int(row_region_base[ci])
+        buckets.append(Bucket(
+            m=m, src=src_flat[lo:hi].reshape(r_cap, m),
+            avals=av_flat[lo:hi].reshape(r_cap, m),
+            seg_rows=seg_rows_flat[rlo:rlo + r_cap],
+            n_rows=int(counts[ci]), single=ci >= n_base))
+
+    return BinnedPlan(
+        buckets=tuple(buckets),
+        res_src=src_flat[flat_total:],
+        res_avals=av_flat[flat_total:],
+        res_rows=res_rows, n_res_chunks=res_chunks,
         w=w, n_products=n_products, table=cb.table)
 
 

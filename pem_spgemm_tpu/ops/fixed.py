@@ -199,8 +199,8 @@ def make_plan(result, config, a, b):
     if result.engine == "element":
         import numpy as np
         if result.binned is not None:
-            from pem_spgemm_tpu.ops.binned import build_plan
-            return BinnedElementPlan(plan=build_plan(a, b))
+            from pem_spgemm_tpu.ops.binned import build_plan_device
+            return BinnedElementPlan(plan=build_plan_device(a, b))
         from pem_spgemm_tpu.ops.element import scan_round_bounds
         b_rowptr = np.asarray(b.element_csr()[0])
         a_rows_np, a_cols_np = (np.asarray(x) for x in a.element_coords())

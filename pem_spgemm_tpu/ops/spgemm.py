@@ -319,7 +319,7 @@ class SpGEMM:
         from pem_spgemm_tpu.ops import binned
 
         with timers.phase("step1") as box:
-            plan = binned.build_plan(a, b)
+            plan = binned.build_plan_device(a, b)
             if plan.n_products == 0:
                 return _empty_result((a.shape[0], b.shape[1]), "element")
             box["sync"] = plan.res_src

@@ -106,3 +106,39 @@ def test_binned_empty_b_rows():
     assert int(stream.c_nnz) == 1
     r, c, v = stream.to_coo_arrays()
     assert r[0] == 0 and c[0] == 5 and v[0] == 8.0
+
+
+def test_device_plan_matches_host_plan():
+    """build_plan_device must produce the same C as the host build_plan."""
+    coo = power_law(n=3000, nnz=10000, seed=21, hub_correlation=0.2)
+    a = coo_to_tiled(coo, dtype=np.float32)
+    hp = binned.build_plan(a, a)
+    dp = binned.build_plan_device(a, a)
+    assert dp.n_products == hp.n_products
+    hs = binned.binned_multiply(hp)
+    ds = binned.binned_multiply(dp)
+    hs.c_nnz = int(hs.c_nnz)
+    ds.c_nnz = int(ds.c_nnz)
+    assert ds.c_nnz == hs.c_nnz
+    hr, hc, hv = hs.to_coo_arrays()
+    dr, dc, dv = ds.to_coo_arrays()
+    np.testing.assert_array_equal(dr, hr)
+    np.testing.assert_array_equal(dc, hc)
+    np.testing.assert_allclose(dv, hv, rtol=1e-6)
+
+
+def test_device_plan_residual():
+    coo = power_law(n=2000, nnz=8000, seed=5, hub_correlation=0.2)
+    a = coo_to_tiled(coo, dtype=np.float32)
+    dp = binned.build_plan_device(a, a, max_chunks=2)
+    assert dp.n_res_chunks > 0
+    ds = binned.binned_multiply(dp)
+    ds.c_nnz = int(ds.c_nnz)
+    s = coo.to_scipy().tocsr()
+    want = (s @ s).tocoo()
+    want.sum_duplicates()
+    assert ds.c_nnz == want.nnz
+    r, c, v = ds.to_coo_arrays()
+    order = np.lexsort((want.col, want.row))
+    np.testing.assert_array_equal(r, want.row[order])
+    np.testing.assert_allclose(v, want.data[order], rtol=1e-5, atol=1e-6)
