@@ -112,14 +112,25 @@ class ChunkedB:
         return int(self.table.shape[0]) - 1
 
 
-def chunk_b(b, w: int = W) -> ChunkedB:
-    """Chunk a TiledMatrix operand's element CSR (cached per matrix)."""
+def chunk_b(b, w: int | None = None) -> ChunkedB:
+    """Chunk a TiledMatrix operand's element CSR (cached per matrix).
+
+    w=None picks the chunk width adaptively from B's mean live row
+    length: short-row operands (uniform-random-like) waste ~W slots per
+    element at W=32, while long-row operands (web graphs) want wide
+    chunks to keep the chunk count (and the 22ns-per-row gather cost)
+    down.
+    """
     cache = getattr(b, "_chunk_cache", None)
-    if cache is not None and cache.w == w:
+    if cache is not None and (w is None or cache.w == w):
         return cache
     b_rowptr, _r, b_cols, b_vals = b.element_csr()
     rowptr = np.asarray(b_rowptr, np.int64)
     lens = np.diff(rowptr)
+    if w is None:
+        live = lens[lens > 0]
+        mean_len = float(live.mean()) if len(live) else 1.0
+        w = 1 << max(3, min(5, int(np.ceil(np.log2(max(mean_len, 1.0))))))
     nch = -(-lens // w)                      # 0 for empty rows
     cptr = np.concatenate([[0], np.cumsum(nch)]).astype(np.int64)
     nc = int(cptr[-1])
@@ -181,7 +192,7 @@ class BinnedPlan:
         return binned_multiply(self)
 
 
-def build_plan(a, b, w: int = W, max_chunks: int = MAX_CHUNKS,
+def build_plan(a, b, w: int | None = None, max_chunks: int = MAX_CHUNKS,
                row_cap_gran=None) -> BinnedPlan:
     """Bin A's rows by product-chunk count (host numpy, fully vectorized;
     the timed step-1 analog of the reference's NSPARSE binning setup
@@ -189,6 +200,7 @@ def build_plan(a, b, w: int = W, max_chunks: int = MAX_CHUNKS,
     """
     gran = row_cap_gran or quarter_pow2
     cb = chunk_b(b, w)
+    w = cb.w
     a_rowptr, a_rows_s, a_cols_s, a_vals_s = a.element_csr()
     a_cols = np.asarray(a_cols_s, np.int64)
     a_vals = np.asarray(a_vals_s, np.float32)
@@ -424,11 +436,13 @@ def _plan_layout(a_rowptr, a_cols, a_vals, cptr_dev, cls, ech, pref,
     return src_flat, _i2f(av_flat), res_rows, seg_rows_flat
 
 
-def build_plan_device(a, b, w: int = W, max_chunks: int = MAX_CHUNKS,
+def build_plan_device(a, b, w: int | None = None,
+                      max_chunks: int = MAX_CHUNKS,
                       row_cap_gran=None) -> BinnedPlan:
     """Device-side binning: one small D2H between two jitted phases."""
     gran = row_cap_gran or quarter_pow2
     cb = chunk_b(b, w)
+    w = cb.w
     a_rowptr, _ar, a_cols, a_vals = a.element_csr()
     base_classes = [c for c in CLASSES if c <= max_chunks]
     n_base = len(base_classes)

@@ -289,20 +289,38 @@ class SpGEMM:
                 return _empty_result((a.shape[0], b.shape[1]), "element")
             box["sync"] = offsets
 
+        wide = jnp.dtype(cfg.dtype).itemsize > 4
         with timers.phase("step3") as box:
             # chunk-granular capacity: one compile per matrix either way,
             # and a pow2 bucket would pad every stream pass by up to 2x
             p_cap = max(cfg.numeric_chunk,
                         -(-n_products // cfg.numeric_chunk)
                         * cfg.numeric_chunk)
-            rows, cols, vals, first, c_nnz_dev = \
-                element.expand_reduce_products(
-                    offsets, a_rows, a_cols, a.vals, b_rowptr, b_cols,
-                    b_vals, jnp.int32(n_products), p_cap)
-            box["sync"] = vals
+            if wide:
+                # f64 parity mode: the merge pipeline moves value BITS as
+                # int32 (f32 only); the gather-based expansion keeps the
+                # native dtype end to end (double accumulation, matching
+                # the reference's ValueType=double, spgemm.cu:728)
+                ci, cj, cv, out_id, c_nnz_dev = \
+                    element.expand_sorted_products(
+                        offsets, a_rows, a_cols, a.vals, b_rowptr,
+                        b_cols, b_vals, jnp.int32(n_products), p_cap)
+                box["sync"] = cv
+            else:
+                rows, cols, vals, first, c_nnz_dev = \
+                    element.expand_reduce_products(
+                        offsets, a_rows, a_cols, a.vals, b_rowptr, b_cols,
+                        b_vals, jnp.int32(n_products), p_cap)
+                box["sync"] = vals
 
         with timers.phase("step2") as box:
             c_nnz = int(c_nnz_dev)                # D2H size feedback #2
+            if wide:
+                from pem_spgemm_tpu.config import round_up_bucket
+                rows, cols, vals = element.reduce_products(
+                    ci, cj, cv, out_id, round_up_bucket(max(1, c_nnz)))
+                first = None
+                box["sync"] = vals
 
         return SpGEMMResult(
             vals=vals.astype(cfg.dtype), shape=(a.shape[0], b.shape[1]),

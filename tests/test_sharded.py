@@ -65,3 +65,24 @@ def test_plan_balances_pairs():
     # every pair is scheduled exactly once
     scheduled = (plan.seg < plan.c_cap).sum()
     assert scheduled == plan.n_pairs
+
+
+def test_sharded_aat_rectangular():
+    """A @ A.T on the ring with a rectangular A (VERDICT round-1 gap)."""
+    m = random_sparse(350, 600, 0.01, seed=17)
+    coo = COOMatrix.from_scipy(m)
+    a = coo_to_tiled(coo, dtype=np.float32)
+    b = coo_to_tiled(coo.transpose(), dtype=np.float32, with_tmasks=True)
+    plan = plan_sharded_spgemm(a, b, 4)
+    mesh = make_mesh(4)
+    vals = sharded_numeric(plan, mesh)
+    rows, cols, v = assemble_sharded(plan, vals)
+    want = (m.tocsr() @ m.tocsr().T).tocsr()
+    want.sum_duplicates()
+    want.sort_indices()
+    assert plan.c_nnz == want.nnz
+    got = sp.coo_matrix((v, (rows, cols)), shape=(350, 350)).tocsr()
+    got.sort_indices()
+    assert (got.indptr == want.indptr).all()
+    assert (got.indices == want.indices).all()
+    np.testing.assert_allclose(got.data, want.data, rtol=1e-4, atol=1e-4)
