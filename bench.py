@@ -13,8 +13,9 @@ with every engine tier represented:
   rmat-16       — Kronecker graph-analytics regime (123M products,
                   heavy hub rows) -> element engine
   uniform-1M    — near-1 nnz/tile worst case -> element engine
-  pairbands-500k — paired diagonals 600 apart: dense 16x16 tiles but sparse
-                  128x128 macro tiles -> fused Tile16 engine
+  pairbands-500k — paired diagonals 600 apart: dense 16x16 tiles but
+                  sparse 128x128 macro tiles -> element engine (measured
+                  17x over the fused Tile16 tier; see BASELINE.md)
   banded16/64/128-1M — stencil regimes (mc2depi/atmosmodd/consph-like)
                   -> Macro128 MXU engine
 
@@ -52,12 +53,15 @@ SUITE = [
     ("uniform-1M", "uniform_random",
      dict(n_rows=1_000_000, n_cols=1_000_000, nnz=4_000_000, seed=3),
      "element", 1.0),
-    # n sized so C's ~25 tile-diagonals fit HBM (the fused engine keeps
-    # dense C value+count tiles: ~1.6GB at 780K C tiles)
+    # mid-fill regime (dense 16x16 tiles, sparse macro tiles).  MEASURED
+    # round 2: fused Tile16 engine 0.03 GF steady vs element 0.55 GF
+    # (per-pair row gathers pay the DMA-issue wall 17x over) — auto
+    # dispatch therefore routes this to the element engine; the fused
+    # tier remains an explicit opt-in (BASELINE.md).
     ("pairbands-500k", "banded_device",
      dict(n=500_000, seed=9,
           bands=(0, 1, 600, 601, -600, -601, 1200, 1201, -1200, -1201)),
-     "fused", 4.0),
+     "element", 4.0),
     ("banded16-1M", "banded_device",
      dict(n=1_000_000, seed=1, bands=tuple(range(-8, 8))), "macro", 4.0),
     ("banded64-1M", "banded_device",
@@ -87,7 +91,11 @@ def main():
     from pem_spgemm_tpu.models import synthetic
 
     gfs, steadies, refs = [], [], []
+    coo = record = result = None
     for name, family, kw, engine, ref_est in SUITE:
+        # release the previous entry's device buffers (results hold
+        # multi-GB streams / dense C tiles) before generating the next
+        coo = record = result = None
         t0 = time.time()
         coo = getattr(synthetic, family)(**kw)
         log(f"[{name}] shape={coo.shape} nnz={coo.nnz} "

@@ -64,7 +64,12 @@ def run_benchmark(coo: COOMatrix, name: str,
     # measure the compiler, not the conversion.  The first run's cost is
     # still visible in total_conversion_overhead_time.
     t_a = t_b = None
+    a = b = None
     for _rep in range(2):
+        # release the previous rep's converted operands BEFORE building
+        # the new ones — at 10^8 nnz two generations of dense tile tables
+        # do not fit HBM together
+        a = b = None
         if cfg.engine == "macro":
             # macro-dispatched workloads convert straight to Macro128 (the
             # Tile16 form would only duplicate the operand in HBM)
@@ -100,6 +105,11 @@ def run_benchmark(coo: COOMatrix, name: str,
                 force_sync(chunk_b(b).table)
             t_b = time.perf_counter() - t0
     t_conv_total = time.perf_counter() - t_conv0
+    # Free the device COO triplets: nothing after conversion reads them,
+    # and at 10^8 nnz they hold ~1GB of HBM the multiply needs (the
+    # reference likewise frees its COO inputs before the benchmark loop,
+    # spgemm.cu:1081-1093).
+    coo_dev = b_coo_dev = None
 
     # --- flop count (host; reference runs this on a jthread,
     #     spgemm.cu:1068-1079) ---

@@ -72,9 +72,16 @@ class SpGEMMConfig:
     #             NSPARSE fallback (spgemm.cu:1142).
     engine: str = "auto"
 
-    # "auto" picks the element engine when the mean nnz-per-occupied-tile of
-    # both operands is below this.
-    element_threshold: float = 6.0
+    # "auto" picks the element engine when the mean nnz-per-occupied-tile
+    # of both operands is below this; above it (but under the macro
+    # threshold) the Tile16 fused engine runs.  MEASURED on v5e (round 2,
+    # BASELINE.md): the binned element engine beats the fused engine ~17x
+    # even on dense-16x16-tile inputs (pairbands: 0.55 vs 0.03 GFlops) —
+    # per-pair 1KB-row gathers pay the ~22ns DMA-issue wall while the
+    # element engine's batched segment sorts amortize it away.  So the
+    # default routes everything below the macro threshold to the element
+    # engine, and the fused tier is an explicit opt-in (engine="fused").
+    element_threshold: float = float("inf")
 
     # Element-engine implementation:
     #   "binned" — production path: row-binned padded segments + batched

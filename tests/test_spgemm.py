@@ -119,6 +119,10 @@ def test_auto_dispatch():
     tm = coo_to_tiled(mid)
     assert eng.pick_engine(ts, ts) == "element"
     assert eng.pick_engine(td, td) == "macro"
-    assert eng.pick_engine(tm, tm) == "fused"
+    # the fused tier is explicit opt-in (measured 17x slower than the
+    # element engine at mid fill, see config.element_threshold)
+    assert eng.pick_engine(tm, tm) == "element"
+    eng2 = SpGEMM(SpGEMMConfig(element_threshold=6.0))
+    assert eng2.pick_engine(tm, tm) == "fused"
     r = eng(td, td)
     check_against_scipy(r, dense @ dense)
