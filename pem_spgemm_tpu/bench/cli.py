@@ -37,6 +37,11 @@ def main(argv=None):
     p.add_argument("--no-csv", action="store_true")
     p.add_argument("--outdir", default="/tmp",
                    help="directory for result dumps with save=1")
+    p.add_argument("--save-converted", metavar="PATH",
+                   help="persist the converted A operand (.npz; Tile16 or "
+                        "Macro128 by engine) for instant reload")
+    p.add_argument("--engine", default="auto",
+                   choices=("auto", "element", "fused", "masks", "macro"))
     args = p.parse_args(argv)
 
     from pem_spgemm_tpu.config import SpGEMMConfig
@@ -59,10 +64,22 @@ def main(argv=None):
                 "allowed in A@A.T mode (pass trailing 1)")
 
     cfg = SpGEMMConfig(dtype=dtype, warmup=args.warmup, repeat=args.repeat,
-                       fastest=args.fastest)
+                       fastest=args.fastest, engine=args.engine)
     record, result = run_benchmark(
         coo, args.matrix, cfg, aat=bool(args.aat),
         csv_path=None if args.no_csv else args.csv)
+
+    if args.save_converted:
+        # checkpoint the converted format (SURVEY §5): reload with
+        # io.persist.load_tiled / load_macro
+        from pem_spgemm_tpu.io.persist import save_tiled, save_macro
+        from pem_spgemm_tpu.ops.convert import coo_to_tiled, coo_to_macro
+        if result.engine == "macro":
+            save_macro(args.save_converted, coo_to_macro(coo, dtype=dtype))
+        else:
+            save_tiled(args.save_converted,
+                       coo_to_tiled(coo, dtype=dtype, with_tmasks=True))
+        print(f"converted operand persisted to {args.save_converted}")
 
     if args.save:
         paths = save_result_files(args.outdir, result.to_coo())
