@@ -26,11 +26,23 @@ import jax.numpy as jnp
 from jax import lax
 
 
-@partial(jax.jit, static_argnames=("c_cap",))
-def c_tile_coords(c_tile_id, c_row, c_col, c_cap):
-    """Scatter per-pair C tile keys into dense (c_cap,) coordinate arrays."""
+@partial(jax.jit, static_argnames=("c_cap", "packed"))
+def c_tile_coords(c_tile_id, c_row, c_col, c_cap, packed=False):
+    """Scatter per-pair C tile keys into dense (c_cap,) coordinate arrays.
+
+    With packed=True (caller guarantees row values < 2^15 and col values
+    < 2^16) the two scatters fuse into one on a packed
+    (row<<16)|col word — scatters are the cost here (~2x on chip).  The
+    packed sentinel 0x7FFF_FFFF unpacks to per-field sentinels 0x7FFF /
+    0xFFFF, distinct from any real coordinate under the size guarantee.
+    """
     valid = c_tile_id < c_cap
     cid_drop = jnp.where(valid, c_tile_id, c_cap)
+    if packed:
+        word = (c_row << 16) | (c_col & 0xFFFF)
+        both = jnp.full((c_cap,), 0x7FFFFFFF, jnp.int32).at[cid_drop].set(
+            word, mode="drop")
+        return (both >> 16) & 0xFFFF, both & 0xFFFF
     c_tile_row = jnp.full((c_cap,), 0x7FFFFFFF, jnp.int32).at[cid_drop].set(
         c_row, mode="drop")
     c_tile_col = jnp.full((c_cap,), 0x7FFFFFFF, jnp.int32).at[cid_drop].set(

@@ -25,11 +25,13 @@ from pem_spgemm_tpu.ops import symbolic, cstruct, numeric
 
 
 @partial(jax.jit, static_argnames=("p_cap", "c_cap", "c_nnz_cap", "chunk",
-                                   "acc_dtype", "precision", "packed"))
+                                   "acc_dtype", "precision", "packed",
+                                   "packed_coords"))
 def spgemm_fixed(a_tile_row, a_tile_col, a_flat,
                  b_tile_rowptr, b_tile_col, b_flat,
                  ntiles_a, *, p_cap, c_cap, c_nnz_cap, chunk,
-                 acc_dtype=jnp.float32, precision="highest", packed=False):
+                 acc_dtype=jnp.float32, precision="highest", packed=False,
+                 packed_coords=False):
     """One-shot fused-engine tiled SpGEMM at static capacities.
 
     Operands arrive as high-level tile structure + dense flat value tables
@@ -57,7 +59,7 @@ def spgemm_fixed(a_tile_row, a_tile_col, a_flat,
         a_flat, b_flat, a_idx, b_idx, c_tile_id, c_cap, chunk,
         acc_dtype, precision)
     c_tile_row, c_tile_col = cstruct.c_tile_coords(
-        c_tile_id, c_row, c_col, c_cap)
+        c_tile_id, c_row, c_col, c_cap, packed_coords)
     cmask, cptr = numeric.counts_to_masks(c_counts.reshape(c_cap, 16, 16))
     c_rowcol, c_elem_tile = cstruct.c_rowcol(cmask, cptr, c_nnz_cap)
     c_vals = numeric.extract_values(c_dense, c_rowcol, c_elem_tile)
@@ -87,13 +89,51 @@ class SpGEMMPlan:
             jnp.int32(a.ntiles), p_cap=self.p_cap, c_cap=self.c_cap,
             c_nnz_cap=self.c_nnz_cap, chunk=self.chunk,
             acc_dtype=self.acc_dtype, precision=self.precision,
-            packed=self.packed)
+            packed=self.packed,
+            packed_coords=self.packed and a.n_tile_rows < (1 << 15))
 
     def grown(self):
         """Next-size plan after an overflow trip (double every capacity)."""
         return dataclasses.replace(self, p_cap=self.p_cap * 2,
                                    c_cap=self.c_cap * 2,
                                    c_nnz_cap=self.c_nnz_cap * 2)
+
+
+@dataclasses.dataclass(frozen=True)
+class StencilMacroPlan:
+    """Macro fixed step using the stencil (windowed write-once) kernel.
+
+    Built when the pair structure is periodic enough (plan coverage >=
+    0.9); C arrays come out slab-ordered with precomputed slab-order tile
+    coordinates.  Capacities are structure-exact, so overflow is
+    constantly False (sparsity changes require re-planning, which the
+    harness does per matrix).
+    """
+
+    plan: object             # ops.pallas_stencil.StencilPlan
+    c_tile_row: object       # (c_cap,) i32 device, slab order
+    c_tile_col: object
+    precision: str
+    macro_chunk: int
+    n_pairs: int
+
+    def grown(self):
+        return self
+
+    def run(self, a, b):
+        import jax.numpy as _jnp
+        from pem_spgemm_tpu.formats.macro import MacroMatrix
+        from pem_spgemm_tpu.ops.macro import macro_structure
+        from pem_spgemm_tpu.ops.pallas_stencil import stencil_accumulate
+        am = a if isinstance(a, MacroMatrix) else a.macro()
+        bm = am if b is a else (
+            b if isinstance(b, MacroMatrix) else b.macro())
+        c_dense, c_counts = stencil_accumulate(
+            am.dense, bm.dense, self.plan, self.precision,
+            self.macro_chunk)
+        cptr = macro_structure(c_counts)
+        return (self.c_tile_row, self.c_tile_col, c_dense, c_counts,
+                cptr, cptr[-1], _jnp.zeros((), _jnp.bool_))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -125,7 +165,8 @@ class MacroPlan:
             bm.tile_rowptr, bm.tile_col, bm.dense,
             jnp.int32(am.ntiles), p_cap=self.p_cap, c_cap=self.c_cap,
             chunk=self.chunk, acc_dtype=self.acc_dtype,
-            precision=self.precision, use_pallas=self.use_pallas)
+            precision=self.precision, use_pallas=self.use_pallas,
+            packed_coords=am.n_macro_rows < (1 << 15))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -181,6 +222,44 @@ class ElementPlan:
                              sum_rounds=self.sum_rounds)
 
 
+def _try_stencil_plan(result, config, a, b):
+    """Stencil macro plan when the pair structure is periodic enough."""
+    import numpy as np
+    from pem_spgemm_tpu.formats.macro import MacroMatrix
+    from pem_spgemm_tpu.ops import pallas_stencil as ps
+    am = a if isinstance(a, MacroMatrix) else a.macro()
+    bm = am if b is a else (
+        b if isinstance(b, MacroMatrix) else b.macro())
+    offsets = symbolic.pair_counts(am.tile_col, bm.tile_rowptr,
+                                   jnp.int32(am.ntiles))
+    n_pairs = int(offsets[-1])
+    chunk = config.macro_chunk
+    p_cap = max(chunk, -(-n_pairs // chunk) * chunk)
+    c_row, c_col, a_idx, b_idx, seg, cnt = symbolic.expand_pairs(
+        offsets, am.tile_row, am.tile_col, bm.tile_rowptr, bm.tile_col,
+        jnp.int32(n_pairs), p_cap, True)
+    n_tiles = int(cnt)
+    plan = ps.plan_stencil(seg, a_idx, b_idx, c_row, c_col, n_pairs,
+                           n_tiles, am.dense.shape[0], bm.dense.shape[0])
+    if plan.coverage < 0.9:
+        return None
+    # slab-order tile coordinates (host): sorted-order coords first
+    first_rows = np.asarray(c_row)[:n_pairs]
+    first_cols = np.asarray(c_col)[:n_pairs]
+    counts = np.bincount(np.asarray(seg)[:n_pairs], minlength=n_tiles)
+    starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    tr_sorted = first_rows[np.minimum(starts, n_pairs - 1)]
+    tc_sorted = first_cols[np.minimum(starts, n_pairs - 1)]
+    ctr = np.full(plan.c_cap, 0x7FFFFFFF, np.int32)
+    ctc = np.full(plan.c_cap, 0x7FFFFFFF, np.int32)
+    real = plan.order < n_tiles
+    ctr[:len(plan.order)][real] = tr_sorted[plan.order[real]]
+    ctc[:len(plan.order)][real] = tc_sorted[plan.order[real]]
+    return StencilMacroPlan(
+        plan=plan, c_tile_row=jnp.asarray(ctr), c_tile_col=jnp.asarray(ctc),
+        precision=config.precision, macro_chunk=chunk, n_pairs=n_pairs)
+
+
 def make_plan(result, config, a, b):
     """Build a fixed-capacity plan from an interactive SpGEMMResult.
 
@@ -215,6 +294,10 @@ def make_plan(result, config, a, b):
         use_pallas = (config.use_pallas
                       and jax.devices()[0].platform != "cpu"
                       and config.acc() == jnp.float32)
+        if use_pallas:
+            sp = _try_stencil_plan(result, config, a, b)
+            if sp is not None:
+                return sp
         return MacroPlan(
             p_cap=gran(result.n_pairs, 1024 if use_pallas
                        else config.macro_chunk),

@@ -82,12 +82,13 @@ def macro_structure(c_counts):
 
 
 @partial(jax.jit, static_argnames=("p_cap", "c_cap", "chunk", "acc_dtype",
-                                   "precision", "packed", "use_pallas"))
+                                   "precision", "packed", "use_pallas",
+                                   "packed_coords"))
 def macro_spgemm_fixed(a_tile_row, a_tile_col, a_dense,
                        b_tile_rowptr, b_tile_col, b_dense,
                        ntiles_a, *, p_cap, c_cap, chunk,
                        acc_dtype=jnp.float32, precision="highest",
-                       packed=True, use_pallas=False):
+                       packed=True, use_pallas=False, packed_coords=False):
     """One-dispatch macro SpGEMM at static capacities.
 
     use_pallas=True routes accumulation through the windowed grid-pipeline
@@ -115,7 +116,7 @@ def macro_spgemm_fixed(a_tile_row, a_tile_col, a_dense,
             a_dense, b_dense, a_idx, b_idx, c_tile_id, c_cap, chunk,
             acc_dtype, precision)
     c_tile_row, c_tile_col = cstruct.c_tile_coords(
-        c_tile_id, c_row, c_col, c_cap)
+        c_tile_id, c_row, c_col, c_cap, packed_coords)
     cptr = macro_structure(c_counts)
     overflow = (offsets[-1] > p_cap) | (cnt > c_cap)
     return c_tile_row, c_tile_col, c_dense, c_counts, cptr, cptr[-1], overflow

@@ -173,7 +173,8 @@ class SpGEMM:
             # --- step 2: structure derivation + two-pass value alloc ---
             with timers.phase("step2") as box:
                 c_tile_row, c_tile_col = cstruct.c_tile_coords(
-                    c_tile_id, c_row, c_col, c_cap)
+                    c_tile_id, c_row, c_col, c_cap,
+                    packed and a.n_tile_rows < (1 << 15))
                 cmask, cptr = numeric.counts_to_masks(
                     c_counts.reshape(c_cap, 16, 16))
                 c_nnz = int(cptr[-1])             # D2H size feedback #3
@@ -254,7 +255,8 @@ class SpGEMM:
 
         with timers.phase("step2") as box:
             c_tile_row, c_tile_col = cstruct.c_tile_coords(
-                c_tile_id, c_row, c_col, c_cap)
+                c_tile_id, c_row, c_col, c_cap,
+                am.n_macro_rows < (1 << 15))
             cptr = M.macro_structure(c_counts)
             c_nnz = int(cptr[-1])             # D2H size feedback #3
             box["sync"] = cptr
