@@ -58,6 +58,23 @@ def run_benchmark(coo: COOMatrix, name: str,
 
     coo_dev = _to_device(coo)
     b_coo_dev = coo_dev if not aat else _to_device(b_coo)
+
+    # Structural dispatch at the conversion layer (the DIA census operates
+    # on COO, before any tiling): explicit engine "dia", or "auto" when the
+    # distinct-diagonal census qualifies — the analog of the reference's
+    # pre-conversion NSPARSE dispatch (spgemm.cu:1142).
+    from pem_spgemm_tpu.ops.dia import detect_dia, coo_to_dia
+    dia_offs = dia_offs_b = None
+    if cfg.engine in ("dia", "auto"):
+        dia_offs = detect_dia(coo_dev, max_bands=cfg.dia_max_bands)
+        if dia_offs is not None and aat:
+            dia_offs_b = detect_dia(b_coo_dev, max_bands=cfg.dia_max_bands)
+            if dia_offs_b is None:
+                dia_offs = None
+        if cfg.engine == "dia" and dia_offs is None:
+            raise ValueError(
+                "engine='dia' but the matrix does not qualify (diagonal "
+                "census exceeds dia_max_bands, or explicit zeros present)")
     # Conversion runs twice; the kernel columns report the SECOND (steady)
     # run: the first pays XLA compilation, which the reference's
     # ahead-of-time-compiled CUDA kernels never pay, so including it would
@@ -70,7 +87,17 @@ def run_benchmark(coo: COOMatrix, name: str,
         # the new ones — at 10^8 nnz two generations of dense tile tables
         # do not fit HBM together
         a = b = None
-        if cfg.engine == "macro":
+        if dia_offs is not None:
+            t0 = time.perf_counter()
+            a = coo_to_dia(coo_dev, dtype=cfg.dtype, offsets=dia_offs)
+            force_sync(a.bands)
+            t_a = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            b = a if not aat else coo_to_dia(b_coo_dev, dtype=cfg.dtype,
+                                             offsets=dia_offs_b)
+            force_sync(b.bands)
+            t_b = time.perf_counter() - t0
+        elif cfg.engine == "macro":
             # macro-dispatched workloads convert straight to Macro128 (the
             # Tile16 form would only duplicate the operand in HBM)
             from pem_spgemm_tpu.ops.convert import coo_to_macro
@@ -153,6 +180,11 @@ def run_benchmark(coo: COOMatrix, name: str,
     # tests/test_fixed.py).
     from pem_spgemm_tpu.ops.fixed import make_plan
     plan = make_plan(result, cfg, a, b)
+    if result.engine == "dia":
+        # dense C band stacks are the big allocation; keep only one
+        # generation in flight during the timing loop
+        result.vals = None
+        result.c_counts = None
     if result.engine == "macro":
         # the interactive result holds multi-GB dense C tiles; release them
         # for the timing loop (two plan outputs are in flight at once) and
@@ -160,13 +192,13 @@ def run_benchmark(coo: COOMatrix, name: str,
         result.vals = None
         result.c_counts = None
     out = plan.run(a, b)
-    force_sync(out)                          # compile + warm
+    force_sync(plan.fence(out))              # compile + warm
     for _ in range(4):
         if not bool(out[-1]):                # overflow flag
             break
         plan = plan.grown()
         out = plan.run(a, b)
-        force_sync(out)
+        force_sync(plan.fence(out))
     else:
         raise RuntimeError("fixed-capacity plan still overflows after "
                            "4 growth steps")
@@ -176,13 +208,27 @@ def run_benchmark(coo: COOMatrix, name: str,
         prev, out = out, None
         del prev
         out = plan.run(a, b)
-        force_sync(out)
+        # fence on a computation-dependent leaf: some plans' leading
+        # outputs are precomputed constants (StencilMacroPlan), which
+        # would return before the kernel finishes (ADVICE round 2)
+        force_sync(plan.fence(out))
         fast_iters.append(time.perf_counter() - t0)
     steady = min(fast_iters) if cfg.fastest else \
         sum(fast_iters) / len(fast_iters)
     if result.engine == "macro":
+        # Macro fixed plans return the full tuple (c_tile_row, c_tile_col,
+        # c_dense, c_counts, cptr, c_nnz, overflow) — possibly in a
+        # DIFFERENT order / capacity than the interactive run (the stencil
+        # plan emits slab order), so the coordinate arrays must be
+        # refreshed together with the values (ADVICE round 2, high).
+        result.c_tile_row = out[0]
+        result.c_tile_col = out[1]
         result.vals = out[2]
         result.c_counts = out[3]
+        result.cptr = out[4]
+    if result.engine == "dia":
+        result.vals = out[0]
+        result.c_counts = out[1]
 
     record = BenchmarkRecord(
         matrix=matrix_name(name),

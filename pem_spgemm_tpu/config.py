@@ -67,10 +67,18 @@ class SpGEMMConfig:
     #             testing and mask-only symbolic use);
     #   "element" — flop-proportional expand-sort-reduce at element level
     #             (the hypersparse regime, <~6 nnz per tile);
-    #   "auto"  — dispatch on mean tile fill (element_threshold), the
-    #             TPU analog of the reference's structural dispatch to the
-    #             NSPARSE fallback (spgemm.cu:1142).
+    #   "dia"   — diagonal-band engine (formats/dia.py): when all nonzeros
+    #             lie on few distinct diagonals, SpGEMM reduces to shifted
+    #             vector FMA streams with zero structure handling;
+    #   "auto"  — dispatch on structure: DIA census first (harness level,
+    #             operates on COO), then mean tile fill — the TPU analog of
+    #             the reference's structural dispatch to the NSPARSE
+    #             fallback (spgemm.cu:1142).
     engine: str = "auto"
+
+    # "auto"/"dia" engage the DIA engine only when the matrix's distinct-
+    # diagonal census is at most this (band stacks are (D, n) dense).
+    dia_max_bands: int = 512
 
     # "auto" picks the element engine when the mean nnz-per-occupied-tile
     # of both operands is below this; above it (but under the macro

@@ -40,6 +40,14 @@ class TiledMatrix:
     Python metadata (pytree aux data). Arrays are padded:
     tile arrays to ``tile_cap`` (= len(tile_row)); element arrays are exact
     length nnz (input size is static per matrix).
+
+    INVARIANT — treat instances as immutable after construction.  Derived
+    conversion products (element_csr, macro, dense_flat, the binned chunk
+    table) are cached on the instance via object.__setattr__; these caches
+    are invisible to JAX transforms and are NOT invalidated if a field is
+    rebuilt in place.  To change values or structure, build a new
+    TiledMatrix (dataclasses.replace drops no caches either — reconvert
+    from COO instead).
     """
 
     # --- per-tile arrays, padded to tile_cap ---

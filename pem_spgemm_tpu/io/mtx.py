@@ -175,7 +175,7 @@ def write_matrix_market(path: str, m: COOMatrix) -> None:
         f.write("%%MatrixMarket matrix coordinate real general\n")
         f.write(f"{m.shape[0]} {m.shape[1]} {m.nnz}\n")
         for r, c, v in zip(m.rows, m.cols, m.vals):
-            f.write(f"{int(r) + 1} {int(c) + 1} {v:.17f}\n")
+            f.write(f"{int(r) + 1} {int(c) + 1} {v:.17g}\n")
 
 
 _writer_lib = None

@@ -351,18 +351,18 @@ def _plan_classify(a_rowptr, a_cols, lens_dev, classes_dev, w, n_base):
     total_chunks = pref[-1]
     res_chunks = jnp.sum(jnp.where(cls == 2 * n_base, row_chunks, 0),
                          dtype=jnp.int32)
-    # exact product count (may exceed 2^31): 15-bit-split chunked sums
+    # exact product count (may exceed 2^31): 15-bit-split chunked partial
+    # sums, combined on the HOST in int64 — device int32 combination
+    # overflows near nnz(A) ~ 1e9, the regime this planner exists for
+    # (ADVICE round 2; utils/flops.py uses the same host combine)
     m = 16384
     pad = (-lens_e.shape[0]) % m
     lp = jnp.concatenate([lens_e, jnp.zeros((pad,), lens_e.dtype)])
-    hi = jnp.sum(jnp.sum((lp >> 15).reshape(-1, m), axis=1,
-                         dtype=jnp.int32) >> 0, dtype=jnp.int32)
-    lo2 = jnp.sum((lp & 0x7FFF).reshape(-1, m), axis=1, dtype=jnp.int32)
-    lo_lo = jnp.sum(lo2 & 0x7FFF, dtype=jnp.int32)
-    lo_hi = jnp.sum(lo2 >> 15, dtype=jnp.int32)
+    hi_vec = jnp.sum((lp >> 15).reshape(-1, m), axis=1, dtype=jnp.int32)
+    lo_vec = jnp.sum((lp & 0x7FFF).reshape(-1, m), axis=1, dtype=jnp.int32)
     stats = jnp.concatenate([
         counts.astype(jnp.int32),
-        jnp.stack([total_chunks, res_chunks, hi, lo_hi, lo_lo])])
+        jnp.stack([total_chunks, res_chunks]), hi_vec, lo_vec])
     return cls, ech, pref, row_chunks, stats
 
 
@@ -454,9 +454,10 @@ def build_plan_device(a, b, w: int | None = None,
     counts = stats_h[:2 * n_base + 2].astype(np.int64)
     total_chunks = int(stats_h[2 * n_base + 2])
     res_chunks = int(stats_h[2 * n_base + 3])
-    n_products = ((int(stats_h[2 * n_base + 4]) << 15)
-                  + (int(stats_h[2 * n_base + 5]) << 15)
-                  + int(stats_h[2 * n_base + 6]))
+    nv = (len(stats_h) - (2 * n_base + 4)) // 2
+    hi_vec = stats_h[2 * n_base + 4:2 * n_base + 4 + nv].astype(np.int64)
+    lo_vec = stats_h[2 * n_base + 4 + nv:].astype(np.int64)
+    n_products = int((hi_vec.sum() << 15) + lo_vec.sum())
     if n_products == 0:
         return BinnedPlan(buckets=(), res_src=jnp.full((1,), cb.nc,
                                                        jnp.int32),

@@ -1,0 +1,245 @@
+"""DIA engine: SpGEMM over diagonal-band operands (formats/dia.py).
+
+The whole three-step pipeline of the reference (symbolic pair search,
+structure generation, numeric accumulation — spgemm.cu:261-661) reduces,
+for DIA operands, to one identity over band offsets:
+
+    C[d1 + d2][i]  +=  A[d1][i] * B[d2][i + d1]
+
+Every (A band, B band) pair contributes one shifted elementwise multiply;
+the "symbolic phase" is a host loop over D1*D2 static offset pairs, and
+the exact structural pattern is the same algebra run on the bands' 0/1
+masks.  There are no gathers, sorts or scatters of elements anywhere:
+the multiply is pure shifted vector FMA streams — the compute shape TPUs
+are best at (VPU + HBM streaming), with every shift a compile-time
+constant.
+
+Two execution paths, chosen by the plan:
+  * XLA path (this module): a D1-step unrolled jit, each step one
+    (D2, n) multiply + static row scatter-add.  Optimal when products
+    are small-to-moderate (mid-fill regimes): traffic ~ products * 20B.
+  * Pallas path (ops/pallas_dia.py): VMEM-resident C blocks, one grid
+    pass over column blocks; traffic ~ operands + C once.  For
+    wide-band stencils where products >> C size.
+
+Structural dispatch (the analog of the reference's NSPARSE dispatch at
+spgemm.cu:1142): detect_dia() censuses distinct diagonals on device; the
+engine engages when the count is small enough that the band stacks fit
+comfortably in HBM.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pem_spgemm_tpu.formats.dia import DiaMatrix
+
+# Dispatch caps: D distinct diagonals, and total band-stack footprint
+# (A + B + C values + C counts) in bytes.
+MAX_BANDS = 512
+MAX_BYTES = 6 << 30
+
+
+# --------------------------------------------------------------------------
+# Census + conversion
+
+@partial(jax.jit, static_argnames=("n_rows", "n_cols"))
+def _diag_census(rows, cols, n_rows, n_cols):
+    """Packed presence bitmap over diagonal offsets (one small D2H).
+
+    Offsets d = col - row live in [-(n_rows-1), n_cols-1]; the bitmap has
+    bit (d + n_rows - 1) set iff any element lies on diagonal d.
+    """
+    span = n_rows + n_cols - 1
+    idx = cols - rows + (n_rows - 1)
+    hist = jnp.zeros(((span + 31) & ~31,), jnp.int32).at[idx].add(
+        1, mode="drop")
+    present = (hist > 0).astype(jnp.uint32).reshape(-1, 32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, :]
+    return jnp.sum(present * weights, axis=1, dtype=jnp.uint32)
+
+
+def diag_offsets(coo) -> np.ndarray:
+    """Sorted distinct diagonal offsets of a COO matrix (device census)."""
+    n_rows, n_cols = coo.shape
+    packed = np.asarray(_diag_census(
+        jnp.asarray(coo.rows, jnp.int32), jnp.asarray(coo.cols, jnp.int32),
+        n_rows, n_cols))
+    bits = np.unpackbits(packed.view(np.uint8), bitorder="little")
+    return np.nonzero(bits)[0].astype(np.int64) - (n_rows - 1)
+
+
+def detect_dia(coo, max_bands: int = MAX_BANDS,
+               max_bytes: int = MAX_BYTES):
+    """Return the sorted offsets array if the DIA engine should run,
+    else None.  Cheap: one jitted histogram + a bitmap D2H.
+
+    Refuses matrices carrying EXPLICIT ZERO entries: the band stacks
+    encode structure as value != 0, so an explicit zero would be dropped
+    from the structural pattern (the tiled engines keep it, matching the
+    reference's presence-based bitmasks)."""
+    offs = diag_offsets(coo)
+    d = len(offs)
+    if d == 0 or d > max_bands:
+        return None
+    n = coo.shape[0]
+    sums = np.unique(offs[:, None] + offs[None, :])
+    # A + B bands + C values + C counts, f32
+    footprint = 4 * n * (2 * d + 2 * len(sums))
+    if footprint > max_bytes:
+        return None
+    if bool(jnp.any(jnp.asarray(coo.vals) == 0)):
+        return None
+    return offs
+
+
+@partial(jax.jit, static_argnames=("n_rows", "n_bands"))
+def _fill_bands(rows, cols, vals, lut, n_rows, n_bands):
+    k = lut[cols - rows]
+    flat = jnp.zeros((n_bands * n_rows,), vals.dtype)
+    flat = flat.at[k * n_rows + rows].set(vals, mode="drop")
+    return flat.reshape(n_bands, n_rows)
+
+
+def coo_to_dia(coo, dtype=jnp.float32, offsets=None,
+               max_bands: int = MAX_BANDS):
+    """COO -> DiaMatrix (device scatter).  Returns None if the diagonal
+    census exceeds max_bands (caller falls back to another engine)."""
+    if offsets is None:
+        offsets = diag_offsets(coo)
+        if len(offsets) > max_bands:
+            return None
+    offsets = np.asarray(offsets, np.int64)
+    n_rows, n_cols = coo.shape
+    lut_np = np.zeros(n_rows + n_cols, np.int32)      # index by d + n_rows
+    lut_np[offsets + n_rows] = np.arange(len(offsets), dtype=np.int32)
+    rows = jnp.asarray(coo.rows, jnp.int32)
+    cols = jnp.asarray(coo.cols, jnp.int32)
+    vals = jnp.asarray(coo.vals, dtype)
+    bands = _fill_bands(rows, cols + jnp.int32(n_rows), vals,
+                        jnp.asarray(lut_np), n_rows, len(offsets))
+    return DiaMatrix(bands=bands, shape=coo.shape,
+                     offsets=tuple(int(d) for d in offsets), nnz=coo.nnz)
+
+
+# --------------------------------------------------------------------------
+# Multiply (XLA path)
+
+def _plan_maps(offs_a, offs_b):
+    """Static (dc_list, idx_map): C offsets and, per A band, the C band
+    index of each (d1, d2) product."""
+    dc_list = sorted({da + db for da in offs_a for db in offs_b})
+    pos = {dc: i for i, dc in enumerate(dc_list)}
+    idx_map = tuple(tuple(pos[da + db] for db in offs_b) for da in offs_a)
+    return tuple(dc_list), idx_map
+
+
+@partial(jax.jit, static_argnames=("offs_a", "idx_map", "dc_count",
+                                   "n_out"))
+def _dia_multiply_xla(a_bands, b_bands, *, offs_a, idx_map, dc_count,
+                      n_out):
+    """Unrolled band-pair accumulation: D1 steps of one (D2, n) shifted
+    multiply + static row scatter-add, for values and 0/1 masks."""
+    n_i = a_bands.shape[1]
+    n_k = b_bands.shape[1]
+    pad_l = max(0, -min(offs_a))
+    pad_r = max(0, n_i + max(offs_a) - n_k)
+    bp = jnp.pad(b_bands, ((0, 0), (pad_l, pad_r)))
+    bm = (bp != 0).astype(jnp.float32)
+    c = jnp.zeros((dc_count, n_out), a_bands.dtype)
+    cnt = jnp.zeros((dc_count, n_out), jnp.float32)
+    for k1, d1 in enumerate(offs_a):
+        s = pad_l + d1
+        sl = jax.lax.slice(bp, (0, s), (bp.shape[0], s + n_i))
+        slm = jax.lax.slice(bm, (0, s), (bm.shape[0], s + n_i))
+        a_row = a_bands[k1][None, :]
+        term = (a_row * sl)[:, :n_out]
+        mterm = ((a_row != 0).astype(jnp.float32) * slm)[:, :n_out]
+        rows = jnp.asarray(idx_map[k1], jnp.int32)
+        c = c.at[rows].add(term)
+        cnt = cnt.at[rows].add(mterm)
+    return c, cnt
+
+
+@dataclasses.dataclass(frozen=True)
+class DiaPlan:
+    """Fixed-step plan for the DIA engine.
+
+    Everything is statically shaped (C band count and lengths derive from
+    the offset sets alone), so there are no capacities to overflow and
+    interactive == steady up to one D2H for c_nnz.
+    """
+
+    offs_a: tuple
+    offs_b: tuple
+    dc_list: tuple
+    idx_map: tuple
+    n_out: int
+    use_pallas: bool = False
+
+    def grown(self):
+        return self
+
+    def fence(self, out):
+        return out[1]          # c_counts (computed)
+
+    def run(self, a: DiaMatrix, b: DiaMatrix):
+        """(c_bands, c_counts, c_nnz_dev, overflow)."""
+        if self.use_pallas:
+            from pem_spgemm_tpu.ops.pallas_dia import dia_multiply_pallas
+            c, cnt = dia_multiply_pallas(
+                a.bands, b.bands, offs_a=self.offs_a,
+                dc_list=self.dc_list, n_out=self.n_out)
+        else:
+            c, cnt = _dia_multiply_xla(
+                a.bands, b.bands, offs_a=self.offs_a,
+                idx_map=self.idx_map, dc_count=len(self.dc_list),
+                n_out=self.n_out)
+        return c, cnt, _count_nnz(cnt), jnp.zeros((), jnp.bool_)
+
+
+@jax.jit
+def _count_nnz(cnt):
+    return jnp.sum(cnt > 0, dtype=jnp.int64
+                   if jax.config.jax_enable_x64 else jnp.int32)
+
+
+def make_dia_plan(a: DiaMatrix, b: DiaMatrix, config=None) -> DiaPlan:
+    """Build the static plan (host; the step-1 analog — a pure offset-set
+    computation, microseconds)."""
+    dc_list, idx_map = _plan_maps(a.offsets, b.offsets)
+    n_out = a.shape[0]
+    use_pallas = False
+    if config is not None and config.use_pallas:
+        from pem_spgemm_tpu.ops.pallas_dia import pallas_dia_applicable
+        use_pallas = pallas_dia_applicable(a.offsets, b.offsets, dc_list,
+                                           n_out, config)
+    return DiaPlan(offs_a=a.offsets, offs_b=b.offsets, dc_list=dc_list,
+                   idx_map=idx_map, n_out=n_out, use_pallas=use_pallas)
+
+
+# --------------------------------------------------------------------------
+# Assembly (untimed, the sanitize_C analog)
+
+def dia_to_coo(c_bands, c_counts, dc_list, shape, c_nnz=None):
+    """C band stacks -> sorted global COO triplets (host numpy)."""
+    cb = np.asarray(c_bands)
+    cm = np.asarray(c_counts) > 0
+    n_rows, n_cols = shape
+    dcs = np.asarray(dc_list, np.int64)
+    k_idx, i_idx = np.nonzero(cm)
+    rows = i_idx.astype(np.int64)
+    cols = rows + dcs[k_idx]
+    keep = (cols >= 0) & (cols < n_cols) & (rows < n_rows)
+    rows, cols, k_idx, i_idx = (x[keep] for x in
+                                (rows, cols, k_idx, i_idx))
+    vals = cb[k_idx, i_idx]
+    order = np.lexsort((cols, rows))
+    if c_nnz is not None:
+        assert len(rows) == int(c_nnz), (len(rows), int(c_nnz))
+    return rows[order], cols[order], vals[order]

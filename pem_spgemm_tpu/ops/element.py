@@ -269,6 +269,11 @@ def element_fixed(a_rows, a_cols, a_vals, b_rowptr, b_cols, b_vals,
     p_cap + nnz_b + 1.)
     """
     del c_cap
+    if jnp.dtype(a_vals.dtype).itemsize > 4:
+        raise TypeError(
+            "element_fixed moves value bits as f32 and would silently "
+            f"downcast {a_vals.dtype}; wide dtypes must use "
+            "element_fixed_wide (ADVICE round 2)")
     b_row_nnz = b_rowptr[1:] - b_rowptr[:-1]
     offsets = product_offsets(a_cols, b_row_nnz)
     n_products = jnp.minimum(offsets[-1], p_cap)
@@ -276,6 +281,33 @@ def element_fixed(a_rows, a_cols, a_vals, b_rowptr, b_cols, b_vals,
         offsets, a_rows, a_cols, a_vals, b_rowptr, b_cols, b_vals,
         n_products, p_cap, fill_rounds, merge_rounds, sum_rounds)
     return out + (offsets[-1] > p_cap,)
+
+
+@partial(jax.jit, static_argnames=("p_cap", "c_cap"))
+def element_fixed_wide(a_rows, a_cols, a_vals, b_rowptr, b_cols, b_vals,
+                       *, p_cap, c_cap):
+    """Wide-dtype (f64 parity) fixed element step — no host syncs.
+
+    Composes the interactive wide branch (expand_sorted_products +
+    reduce_products, ops/spgemm._element) into one dispatch: the value
+    stream keeps its native dtype end to end (true double accumulation,
+    matching the reference's ValueType=double, spgemm.cu:728), unlike
+    element_fixed whose merge pipeline bit-packs values as f32.
+
+    Returns stream-compatible (rows, cols, vals, first, c_nnz, overflow):
+    compact COO in the leading c_nnz slots, `first` all-ones (each output
+    is its own group).
+    """
+    b_row_nnz = b_rowptr[1:] - b_rowptr[:-1]
+    offsets = product_offsets(a_cols, b_row_nnz)
+    n_products = jnp.minimum(offsets[-1], p_cap)
+    ci, cj, cv, out_id, c_nnz = expand_sorted_products(
+        offsets, a_rows, a_cols, a_vals, b_rowptr, b_cols, b_vals,
+        n_products, p_cap)
+    rows, cols, vals = reduce_products(ci, cj, cv, out_id, c_cap)
+    first = (rows != INT32_MAX).astype(jnp.int32)
+    overflow = (offsets[-1] > p_cap) | (c_nnz > c_cap)
+    return rows, cols, vals, first, c_nnz, overflow
 
 
 @partial(jax.jit, static_argnames=("c_cap",))

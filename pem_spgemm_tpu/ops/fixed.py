@@ -81,6 +81,11 @@ class SpGEMMPlan:
     acc_dtype: object
     precision: str
 
+    def fence(self, out):
+        """Computation-dependent leaf to sync on (ADVICE round 2: syncing
+        a precomputed leaf measures dispatch, not execution)."""
+        return out[6]                         # c_vals
+
     def run(self, a, b):
         """Execute the planned step: one dispatch, no host syncs."""
         return spgemm_fixed(
@@ -120,6 +125,11 @@ class StencilMacroPlan:
     def grown(self):
         return self
 
+    def fence(self, out):
+        """cptr is derived from c_counts on device — unlike c_tile_row/
+        c_tile_col, which are precomputed constants (ADVICE round 2)."""
+        return out[4]
+
     def run(self, a, b):
         import jax.numpy as _jnp
         from pem_spgemm_tpu.formats.macro import MacroMatrix
@@ -151,6 +161,9 @@ class MacroPlan:
         """Next-size plan after an overflow trip (double every capacity)."""
         return dataclasses.replace(self, p_cap=self.p_cap * 2,
                                    c_cap=self.c_cap * 2)
+
+    def fence(self, out):
+        return out[4]                         # cptr
 
     def run(self, a, b):
         """One dispatch: (c_tile_row, c_tile_col, c_dense, c_counts, cptr,
@@ -184,6 +197,9 @@ class BinnedElementPlan:
     def grown(self):
         return self
 
+    def fence(self, out):
+        return out[0]                         # c_nnz depends on every bucket
+
     def run(self, a, b):
         """Dispatch the planned multiply; returns (c_nnz_device, overflow).
         The c_nnz scalar depends on every bucket, so syncing it fences the
@@ -203,18 +219,31 @@ class ElementPlan:
     fill_rounds: object = None
     merge_rounds: object = None
     sum_rounds: object = None
+    wide: bool = False      # >4-byte dtype: route around the f32 bit moves
 
     def grown(self):
         """Next-size plan after an overflow trip (double every capacity)."""
         return dataclasses.replace(self, p_cap=self.p_cap * 2,
                                    c_cap=self.c_cap * 2)
 
+    def fence(self, out):
+        return out[2]                         # vals
+
     def run(self, a, b):
         """One dispatch: C stream form (rows, cols, vals, first, c_nnz,
         overflow)."""
-        from pem_spgemm_tpu.ops.element import element_fixed
+        from pem_spgemm_tpu.ops.element import element_fixed, \
+            element_fixed_wide
         b_rowptr, _b_rows, b_cols, b_vals = b.element_csr()
         a_rows, a_cols = a.element_coords()
+        if self.wide:
+            # f64 parity mode: element_fixed's merge pipeline moves value
+            # bits as f32 and would silently downcast (ADVICE round 2) —
+            # the wide step keeps the native dtype end to end, matching
+            # the interactive wide branch (ops/spgemm._element)
+            return element_fixed_wide(
+                a_rows, a_cols, a.vals, b_rowptr, b_cols, b_vals,
+                p_cap=self.p_cap, c_cap=self.c_cap)
         return element_fixed(a_rows, a_cols, a.vals, b_rowptr, b_cols,
                              b_vals, p_cap=self.p_cap, c_cap=self.c_cap,
                              fill_rounds=self.fill_rounds,
@@ -275,6 +304,11 @@ def make_plan(result, config, a, b):
     def gran(n, g):
         return max(g, -(-int(n) // g) * g)
 
+    if result.engine == "dia":
+        # the DIA plan is ALREADY fixed-step (C structure is static given
+        # the offset sets); rebuild it from the operands' offsets
+        from pem_spgemm_tpu.ops.dia import make_dia_plan
+        return make_dia_plan(a, b, config)
     if result.engine == "element":
         import numpy as np
         if result.binned is not None:
@@ -288,7 +322,8 @@ def make_plan(result, config, a, b):
         return ElementPlan(
             p_cap=gran(result.n_pairs, chunk),
             c_cap=round_up_pow2(max(1, result.c_nnz)),
-            fill_rounds=fr, merge_rounds=mr, sum_rounds=sr)
+            fill_rounds=fr, merge_rounds=mr, sum_rounds=sr,
+            wide=jnp.dtype(config.dtype).itemsize > 4)
     if result.engine == "macro":
         import jax
         use_pallas = (config.use_pallas

@@ -97,10 +97,10 @@ def class_call(c_num, c_pat, a_dense, b_dense, ab_bases,
         num_scalar_prefetch=1,
         grid=(n_steps,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # c_num (aliased)
-            pl.BlockSpec(memory_space=pltpu.ANY),   # c_pat (aliased)
-            pl.BlockSpec(memory_space=pltpu.ANY),   # a_dense (manual DMA)
-            pl.BlockSpec(memory_space=pltpu.ANY),   # b_dense
+            pl.BlockSpec(memory_space=pl.ANY),   # c_num (aliased)
+            pl.BlockSpec(memory_space=pl.ANY),   # c_pat (aliased)
+            pl.BlockSpec(memory_space=pl.ANY),   # a_dense (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),   # b_dense
         ],
         out_specs=(
             pl.BlockSpec((t, 128, 128), lambda i, ab: (blk0 + i, 0, 0),
@@ -239,15 +239,22 @@ def _kernel2(ab_ref, cn_in, cp_in, a_hbm, b_hbm, c_num_ref, c_pat_ref,
 
     n_k = (n_steps + 1) // 2
     lax.fori_loop(0, n_k, body, 0)
-    # drain the last (up to two) output flushes
+    # Drain the pending output flushes.  The loop waits each flush two
+    # steps later, so at exit the last EVEN flush (step last0) and the
+    # last ODD flush are still in flight.  The last odd flush is step
+    # n_steps-1 when n_steps is even, but n_steps-2 when ODD (the final
+    # iteration skips the odd block, so its wait never ran) — leaving it
+    # unwaited ends the kernel with a DMA in flight: FAILED_PRECONDITION
+    # on hardware (found by the round-3 hardware drive; the interpreter
+    # does not model in-flight DMAs).  n_steps is static, so the drain
+    # target is a compile-time constant.
     last0 = 2 * (n_k - 1)
     on, op = out_copies(stg_n0, stg_p0, last0, out_sems.at[0])
     on.wait()
     op.wait()
-
-    @pl.when(last0 + 1 < n_steps)
-    def _():
-        on, op = out_copies(stg_n1, stg_p1, last0 + 1, out_sems.at[1])
+    if n_steps >= 2:
+        last_odd = n_steps - 1 if n_steps % 2 == 0 else n_steps - 2
+        on, op = out_copies(stg_n1, stg_p1, last_odd, out_sems.at[1])
         on.wait()
         op.wait()
 
@@ -271,14 +278,14 @@ def class_call2(c_num, c_pat, a_dense, b_dense, ab_bases,
         num_scalar_prefetch=1,
         grid=(1,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # c_num (aliased)
-            pl.BlockSpec(memory_space=pltpu.ANY),   # c_pat (aliased)
-            pl.BlockSpec(memory_space=pltpu.ANY),   # a_dense
-            pl.BlockSpec(memory_space=pltpu.ANY),   # b_dense
+            pl.BlockSpec(memory_space=pl.ANY),   # c_num (aliased)
+            pl.BlockSpec(memory_space=pl.ANY),   # c_pat (aliased)
+            pl.BlockSpec(memory_space=pl.ANY),   # a_dense
+            pl.BlockSpec(memory_space=pl.ANY),   # b_dense
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ),
         scratch_shapes=[
             pltpu.VMEM((ar, 128, 128), jnp.float32),

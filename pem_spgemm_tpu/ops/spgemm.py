@@ -61,10 +61,18 @@ class SpGEMMResult:
     binned: Optional[object] = None
     # macro form (engine == "macro"): dense 128x128 C tiles + counts
     c_counts: Optional[jax.Array] = None     # (c_cap, 128, 128) f32
+    # dia form (engine == "dia"): vals = (dc, n) C band stack, c_counts =
+    # (dc, n) structural counts, dia_dc = the static C diagonal offsets
+    dia_dc: Optional[tuple] = None
 
     def to_coo(self) -> COOMatrix:
         """Assemble + sort to canonical global COO (host)."""
         n = self.c_nnz
+        if self.engine == "dia":
+            from pem_spgemm_tpu.ops.dia import dia_to_coo
+            rows, cols, vals = dia_to_coo(self.vals, self.c_counts,
+                                          self.dia_dc, self.shape, n)
+            return COOMatrix(rows, cols, vals, self.shape)
         if self.binned is not None:
             rows, cols, vals = self.binned.to_coo_arrays()
             return COOMatrix(rows, cols, vals, self.shape)
@@ -128,6 +136,9 @@ class SpGEMM:
         if a.shape[1] != b.shape[0]:
             raise ValueError(f"shape mismatch: {a.shape} @ {b.shape}")
         from pem_spgemm_tpu.formats.macro import MacroMatrix
+        from pem_spgemm_tpu.formats.dia import DiaMatrix
+        if isinstance(a, DiaMatrix):
+            return self._dia(a, b, timers)
         if isinstance(a, MacroMatrix):
             return self._macro(a, b, timers)
         engine = self.pick_engine(a, b)
@@ -266,6 +277,33 @@ class SpGEMM:
             n_pairs=n_pairs, engine="macro",
             c_tile_row=c_tile_row, c_tile_col=c_tile_col, cptr=cptr,
             c_counts=c_counts, c_ntiles=c_ntiles)
+
+    def _dia(self, a, b, timers: PhaseTimers) -> SpGEMMResult:
+        """DIA engine (ops/dia.py): SpGEMM over diagonal-band operands.
+
+        The reference's three steps collapse (spgemm.cu:261-661 -> band
+        offset algebra): step1 = the static offset-pair plan (host, us);
+        step3 = the shifted-FMA multiply of values AND 0/1 masks; step2 =
+        the exact-nnz reduce + its one D2H size feedback."""
+        from pem_spgemm_tpu.ops import dia as D
+        cfg = self.config
+
+        with timers.phase("step1"):
+            plan = D.make_dia_plan(a, b, cfg)
+            if not plan.dc_list:
+                return _empty_result((a.shape[0], b.shape[1]), "dia")
+
+        with timers.phase("step3") as box:
+            out = plan.run(a, b)
+            box["sync"] = out[1]
+
+        with timers.phase("step2"):
+            c_nnz = int(out[2])               # the one D2H size feedback
+
+        return SpGEMMResult(
+            vals=out[0], shape=(a.shape[0], b.shape[1]), c_nnz=c_nnz,
+            n_pairs=len(plan.offs_a) * len(plan.offs_b), engine="dia",
+            c_counts=out[1], dia_dc=plan.dc_list)
 
     def _element(self, a: TiledMatrix, b: TiledMatrix,
                  timers: PhaseTimers) -> SpGEMMResult:

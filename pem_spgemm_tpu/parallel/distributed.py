@@ -130,8 +130,13 @@ def scaling_efficiency(coo, engine: str = "tile16", max_devices: int = 0,
 
 
 def plan_nnz_macro(plan, out):
-    """Exact C nnz from a sharded-macro run's structural counts."""
-    cnt = np.asarray(out[1]) if isinstance(out, tuple) else None
-    if cnt is None:
+    """Exact C nnz from a sharded-macro run's structural counts.
+
+    Only the first plan.c_counts_dev[d] slab rows of each device are real
+    C tiles; counting padded rows would silently inflate the metric if a
+    padded row ever carried nonzero counts (ADVICE round 2)."""
+    if not isinstance(out, tuple):
         return -1
-    return int((cnt > 0).sum())
+    cnt = np.asarray(out[1])
+    return sum(int((cnt[d, :int(plan.c_counts_dev[d])] > 0).sum())
+               for d in range(plan.n_devices))

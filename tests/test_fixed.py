@@ -86,6 +86,41 @@ def test_planned_element_matches_scipy():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_planned_element_wide_keeps_f64():
+    # ADVICE round 2 (medium): an f64 ElementPlan must not silently route
+    # values through the f32 bit-packed merge pipeline.  The wide fixed
+    # step keeps native-dtype accumulation; values must match an f64
+    # scipy oracle tighter than f32 could.
+    m = random_sparse(500, 500, 0.003, seed=11, dtype=np.float64)
+    # scale values so f32 rounding is visible
+    m.data = m.data * 1e8 + 1.0
+    coo = COOMatrix.from_scipy(m)
+    a = coo_to_tiled(coo, dtype=np.float64)
+    b = coo_to_tiled(coo, dtype=np.float64)
+    cfg = SpGEMMConfig(numeric_chunk=1 << 10, engine="element",
+                       element_impl="merge", dtype=np.float64)
+    res = SpGEMM(cfg)(a, b)
+    plan = make_plan(res, cfg, a, b)
+    assert plan.wide
+    rows, cols, vals, first, c_nnz, overflow = plan.run(a, b)
+    jax.block_until_ready(vals)
+    assert int(c_nnz) == res.c_nnz
+    assert not bool(overflow)
+    assert vals.dtype == np.float64 if jax.config.jax_enable_x64 \
+        else vals.dtype != np.float16   # dtype preserved modulo x64 mode
+    want = (m @ m).tocoo()
+    want.sum_duplicates()
+    n = int(c_nnz)
+    assert want.nnz == n
+    order = np.lexsort((want.col, want.row))
+    np.testing.assert_array_equal(np.asarray(rows)[:n], want.row[order])
+    np.testing.assert_array_equal(np.asarray(cols)[:n], want.col[order])
+    # x64 off in-process: still f32-tight; the true f64 parity is measured
+    # by tests/test_f64.py in an x64 subprocess
+    np.testing.assert_allclose(np.asarray(vals)[:n], want.data[order],
+                               rtol=1e-5)
+
+
 def test_scanops():
     import jax.numpy as jnp
     from pem_spgemm_tpu.ops import scanops
