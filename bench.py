@@ -53,22 +53,29 @@ SUITE = [
     ("uniform-1M", "uniform_random",
      dict(n_rows=1_000_000, n_cols=1_000_000, nnz=4_000_000, seed=3),
      "element", 1.0),
-    # mid-fill regime (dense 16x16 tiles, sparse macro tiles).  MEASURED
-    # round 2: fused Tile16 engine 0.03 GF steady vs element 0.55 GF
-    # (per-pair row gathers pay the DMA-issue wall 17x over) — auto
-    # dispatch therefore routes this to the element engine; the fused
-    # tier remains an explicit opt-in (BASELINE.md).
+    # mid-fill regime (dense 16x16 tiles, sparse macro tiles).  Round 3:
+    # auto dispatch runs the structural DIA census first (ops/dia.py) —
+    # 10 distinct diagonals — and the multiply collapses to shifted
+    # vector FMA streams (round 2's best tier here, the element engine,
+    # managed 0.55 GF steady; the fused Tile16 tier 17x less).
     ("pairbands-500k", "banded_device",
      dict(n=500_000, seed=9,
           bands=(0, 1, 600, 601, -600, -601, 1200, 1201, -1200, -1201)),
-     "element", 4.0),
+     "auto", 4.0),
     ("banded16-1M", "banded_device",
-     dict(n=1_000_000, seed=1, bands=tuple(range(-8, 8))), "macro", 4.0),
+     dict(n=1_000_000, seed=1, bands=tuple(range(-8, 8))), "auto", 4.0),
     ("banded64-1M", "banded_device",
-     dict(n=1_000_000, seed=1, bands=tuple(range(-32, 32))), "macro", 7.0),
+     dict(n=1_000_000, seed=1, bands=tuple(range(-32, 32))), "auto", 7.0),
     # wide-stencil / FEM-block-dense regime (consph/pdb1HYS-class rows)
     ("banded128-1M", "banded_device",
-     dict(n=1_000_000, seed=1, bands=tuple(range(-64, 64))), "macro", 10.0),
+     dict(n=1_000_000, seed=1, bands=tuple(range(-64, 64))), "auto", 10.0),
+    # irregular-macro regime: banded64's local structure but a wandering
+    # band center — the diagonal census (>500 distinct diagonals) rejects
+    # the DIA tier and the aperiodic pair stream defeats the stencil
+    # planner, so the GENERIC macro path must carry it (the reference's
+    # step 3 has no structural precondition, spgemm.cu:593-661).
+    ("wandering64-1M", "wandering_device",
+     dict(n=1_000_000, seed=4), "macro", 7.0),
 ]
 
 

@@ -163,6 +163,59 @@ def banded_device(n: int, bands=(0, 1, -1, 16, -16), seed: int = 0
                      jnp.concatenate(keep_v), (n, n))
 
 
+def wandering_device(n: int, width: int = 64, block: int = 128,
+                     step_max: int = 2, seed: int = 0) -> COOMatrix:
+    """Irregular-macro regime: a dense band whose center WANDERS.
+
+    Each 128-row block g carries a ``width``-wide dense band centered at
+    column ``i + 128*m_g``, where m_g is a reflected random walk (steps
+    in [-step_max, step_max]).  Locally this is exactly banded64-like
+    (dense 16x16 tiles, dense-ish 128x128 macro tiles, identical nnz and
+    flop profile), but globally:
+
+      * the diagonal census is ~64 * (#distinct walk values) >> 512, so
+        the DIA tier refuses it (ops/dia.detect_dia);
+      * the macro pair stream has no periodic signature, so the stencil
+        macro planner's coverage collapses and the GENERIC macro path
+        must carry it — the benchmark the reference's step 3
+        (spgemm.cu:593-661) handles with no structural precondition.
+
+    Offsets are multiples of ``block`` so macro tiles stay aligned; the
+    walk is reflected into per-block bounds so every element is in
+    range: nnz == n * width exactly.
+    """
+    import jax
+    import jax.numpy as jnp
+    assert n % block == 0, "n must be a multiple of block"
+    nb = n // block
+    w2 = width // 2
+    rs = np.random.default_rng(seed)
+    steps = rs.integers(-step_max, step_max + 1, nb)
+    m = np.empty(nb, np.int64)
+    cur = 1                                   # m_0 >= 1 keeps col-32 >= 0
+    for g in range(nb):
+        cur = int(np.clip(cur + steps[g], 1 - g, nb - g - 2))
+        m[g] = cur
+    m_dev = jnp.asarray(m, jnp.int32)
+
+    @jax.jit
+    def gen():
+        r = jnp.arange(n, dtype=jnp.int32)
+        center = r + jnp.int32(block) * m_dev[r // block]
+        key = jax.random.PRNGKey(seed)
+        rows_l, cols_l, vals_l = [], [], []
+        for k in range(-w2, width - w2):
+            key, sub = jax.random.split(key)
+            rows_l.append(r)
+            cols_l.append(center + k)
+            vals_l.append(jax.random.normal(sub, (n,), jnp.float32))
+        return (jnp.concatenate(rows_l), jnp.concatenate(cols_l),
+                jnp.concatenate(vals_l))
+
+    rows, cols, vals = gen()
+    return COOMatrix(rows, cols, vals, (n, n))
+
+
 def by_name(spec: str) -> COOMatrix:
     """Parse 'family:k=v,k=v' benchmark specs, e.g. 'banded:n=200000'."""
     name, _, argstr = spec.partition(":")
@@ -172,7 +225,8 @@ def by_name(spec: str) -> COOMatrix:
             k, _, v = part.partition("=")
             kwargs[k] = float(v) if "." in v else int(v)
     fams = {"banded": banded, "power_law": power_law, "rmat": rmat,
-            "uniform_random": uniform_random}
+            "uniform_random": uniform_random,
+            "wandering": wandering_device}
     if name not in fams:
         raise ValueError(f"unknown synthetic family {name!r}; "
                          f"one of {sorted(fams)}")

@@ -40,3 +40,37 @@ def test_power_law_is_skewed():
 def test_bad_family():
     with pytest.raises(ValueError, match="unknown synthetic family"):
         synthetic.by_name("nope:n=3")
+
+
+def test_wandering_device_structure():
+    # irregular-macro generator: exact nnz, in-range, macro-aligned
+    # offsets, and a diagonal census far beyond the DIA cap
+    from pem_spgemm_tpu.ops.dia import detect_dia, diag_offsets
+    m = synthetic.wandering_device(n=2048, width=16, block=128, seed=4)
+    assert m.nnz == 2048 * 16
+    rows = np.asarray(m.rows)
+    cols = np.asarray(m.cols)
+    assert (cols >= 0).all() and (cols < m.shape[1]).all()
+    # every offset is (col - row) = 128*m_g + k, k in [-8, 8)
+    walk = ((cols - rows) - (-8)) // 128  # varies across blocks
+    assert len(np.unique(walk)) > 3       # the center actually wanders
+    assert len(diag_offsets(m)) > 64
+    assert detect_dia(m, max_bands=64) is None
+
+
+def test_wandering_macro_engine_exact():
+    from pem_spgemm_tpu.config import SpGEMMConfig
+    from pem_spgemm_tpu.ops.spgemm import SpGEMM
+    from pem_spgemm_tpu.ops.convert import coo_to_macro
+    m = synthetic.wandering_device(n=1024, width=16, block=128, seed=7)
+    a = coo_to_macro(m, dtype=np.float32)
+    res = SpGEMM(SpGEMMConfig())(a, a)
+    s = m.to_scipy()
+    want = (s.tocsr() @ s.tocsr()).tocoo()
+    want.sum_duplicates()
+    assert res.c_nnz == want.nnz
+    got = res.to_coo()
+    order = np.lexsort((want.col, want.row))
+    np.testing.assert_array_equal(got.rows, want.row[order])
+    np.testing.assert_allclose(got.vals, want.data[order].astype(np.float32),
+                               rtol=2e-4, atol=2e-4)
