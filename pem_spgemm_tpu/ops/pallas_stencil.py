@@ -163,15 +163,21 @@ def _kernel2(ab_ref, cn_in, cp_in, a_hbm, b_hbm, c_num_ref, c_pat_ref,
                 pltpu.make_async_copy(stg_p, c_pat_ref.at[pl.ds(row, t)],
                                       sems.at[1]))
 
+    # uniform p (int) or ragged per-tile pair counts (tuple, run plan)
+    p_list = (p,) * t if isinstance(p, int) else p
+    p_base = [0]
+    for pc in p_list:
+        p_base.append(p_base[-1] + pc)
+
     def compute(a_win, b_win, stg_n, stg_p):
         # zero-copy: 2D dots directly on window slices (static offsets);
         # per-tile sums stay in registers
         for tt in range(t):
             acc_n = None
             acc_p = None
-            for pp in range(p):
-                ao = a_offs[tt * p + pp]
-                bo = b_offs[tt * p + pp]
+            for pp in range(p_list[tt]):
+                ao = a_offs[p_base[tt] + pp]
+                bo = b_offs[p_base[tt] + pp]
                 aw = a_win[ao]
                 bw = b_win[bo]
                 dn = lax.dot_general(
@@ -389,23 +395,118 @@ def plan_stencil(seg, a_idx, b_idx, c_row, c_col, n_pairs, n_tiles,
             if not ok:
                 res_tiles += list(tiles)
                 continue
-            key = (int(p0), tuple(a_offs), tuple(b_offs))
+            key = (t_step, int(p0), tuple(a_offs), tuple(b_offs))
             sig_steps.setdefault(key, []).append((tiles, int(a0), int(b0)))
         leftover = run[len(run) - (len(run) % t_step):]
         res_tiles += list(leftover)
 
-    # keep the most popular classes; the rest goes residual
+    return _finish_plan(sig_steps, res_tiles, segn, pan, pbn, n_pairs,
+                        n_tiles, MAX_CLASSES)
+
+
+# Run-plan bounds: a C macro row becomes one grid step when its tiles,
+# pairs, and operand window extents fit; anything wider goes residual.
+T_MAXR = 16             # C tiles per row step
+P_MAXR = 64             # pairs per row step (compute unroll bound)
+MAX_WIN_R = 48          # window extent cap (tiles) for the run plan
+MAX_CLASSES_R = 32      # row signatures are finer than diagonal ones
+                        # (wandering-band walks produce ~25 variants)
+
+
+def plan_runs(seg, a_idx, b_idx, c_row, c_col, n_pairs, n_tiles,
+              a_rows, b_rows) -> StencilPlan:
+    """Consecutive-run clustering plan: one write-once step per C MACRO
+    ROW, grouped by in-window offset signature (host numpy).
+
+    The stencil plan (plan_stencil) requires PERIODIC structure: T_STEP
+    same-pattern tiles along one diagonal, repeated across the matrix.
+    Irregular-macro matrices (e.g. a wandering band — locally dense,
+    globally aperiodic) defeat it and previously fell back to 2 DMA
+    issues + 1 dynamic VMEM add PER PAIR (~253ns + ~1us each, the ~88ms
+    floor of NOTES.md).  This plan exploits the run structure such
+    matrices do have: all pairs of one C macro row reference an A-table
+    range (the row's tiles are contiguous in the row-major table) and a
+    B-table range (the contributing B rows are consecutive table spans),
+    so ONE A-window DMA + ONE B-window DMA per row replace per-pair
+    fetches, and each row's C tiles are written once (exclusive
+    ownership by construction, reference spgemm.cu:593-661).  In-window
+    offsets are compile-time constants of the row's signature class;
+    locally-regular matrices collapse to a handful of classes.  Rows
+    with rare signatures or oversized windows degrade to the residual
+    per-pair path — the graceful G=1 limit for fully scattered
+    structure.
+    """
+    segn = np.asarray(seg)[:n_pairs]
+    pan = np.asarray(a_idx)[:n_pairs].astype(np.int64)
+    pbn = np.asarray(b_idx)[:n_pairs].astype(np.int64)
+    crow = np.asarray(c_row)[:n_pairs].astype(np.int64)
+    counts = np.bincount(segn, minlength=n_tiles)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    first = starts[:-1]
+    tile_row = crow[np.minimum(first, n_pairs - 1)]
+
+    # tiles are already in (row, col) sort order by construction of the
+    # pair stream (seg is the sorted C tile id); group by macro row
+    row_change = np.nonzero(np.diff(tile_row))[0] + 1
+    bounds = np.concatenate([[0], row_change, [n_tiles]])
+    sig_steps = {}
+    res_tiles = []
+    for gi in range(len(bounds) - 1):
+        tiles = np.arange(bounds[gi], bounds[gi + 1])
+        total_p = int(counts[tiles].sum())
+        if total_p == 0:
+            continue
+        if len(tiles) > T_MAXR or total_p > P_MAXR:
+            res_tiles += list(tiles)
+            continue
+        lo, hi = starts[tiles[0]], starts[tiles[-1] + 1]
+        a0 = int(pan[lo:hi].min())
+        b0 = int(pbn[lo:hi].min())
+        p_list, a_offs, b_offs = [], [], []
+        ok = True
+        for tt in tiles:
+            tl, th = starts[tt], starts[tt + 1]
+            ao = np.sort(pan[tl:th]) - a0
+            bo = np.sort(pbn[tl:th]) - b0
+            if ao.max(initial=0) >= MAX_WIN_R or \
+                    bo.max(initial=0) >= MAX_WIN_R:
+                ok = False
+                break
+            p_list.append(int(th - tl))
+            a_offs += list(ao)
+            b_offs += list(bo)
+        if ok and (a0 + max(a_offs) >= a_rows
+                   or b0 + max(b_offs) >= b_rows):
+            ok = False
+        if not ok:
+            res_tiles += list(tiles)
+            continue
+        key = (len(tiles), tuple(p_list),
+               tuple(int(x) for x in a_offs),
+               tuple(int(x) for x in b_offs))
+        sig_steps.setdefault(key, []).append((tiles, a0, b0))
+
+    return _finish_plan(sig_steps, res_tiles, segn, pan, pbn, n_pairs,
+                        n_tiles, MAX_CLASSES_R)
+
+
+def _finish_plan(sig_steps, res_tiles, segn, pan, pbn, n_pairs, n_tiles,
+                 max_classes):
+    """Shared plan tail: rank signatures, lay out the slab, build the
+    residual stream.  sig_steps keys are (t, p, a_offs, b_offs) with p an
+    int (uniform, stencil plan) or a per-tile tuple (ragged, run plan);
+    values are lists of (tiles, a_base, b_base)."""
     ranked = sorted(sig_steps.items(), key=lambda kv: -len(kv[1]))
     classes, class_bases, order_parts = [], [], []
     slab_base = 0
     kept = 0
     for key, steps in ranked:
-        if kept >= MAX_CLASSES or len(steps) < MIN_CLASS_STEPS:
+        if kept >= max_classes or len(steps) < MIN_CLASS_STEPS:
             for tiles, _a, _b in steps:
                 res_tiles += list(tiles)
             continue
         kept += 1
-        p0, a_offs, b_offs = key
+        t_step, p0, a_offs, b_offs = key
         ar = max(a_offs) + 1
         br = max(b_offs) + 1
         bases = np.empty(2 * len(steps), np.int32)
