@@ -14,9 +14,11 @@ Design (SpGEMM analog of ring attention's pass-blocks-while-computing):
     chunk (d - s) mod n, multiplies the pairs whose B tile lives in that
     chunk, and ppermutes the chunk to its right neighbor.  XLA overlaps the
     collective-permute with the batched matmuls of the current stage.
-  * The symbolic planning runs on the host (numpy) in this version: it
-    assigns every pair a (device, stage) slot and pads to uniform static
-    shapes — the shard_map step is pure numeric + collectives.
+  * PLANNING IS DEVICE-NATIVE (round 3): the jitted symbolic phase
+    (ops/symbolic) expands pairs, ops/cstruct builds the exact C bitmask
+    structure, and the ring schedule reuses the jitted phases of
+    parallel/sharded_macro — O(pairs) device work, O(n_devices) host ints
+    (the round-2 planner densified both operands on the host).
 
 Structural metadata (masks, pointers) is tiny compared to values, so the
 plan replicates it implicitly inside the per-device index arrays.
@@ -35,8 +37,11 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from pem_spgemm_tpu.config import round_up_bucket
 from pem_spgemm_tpu.formats.tiled import TiledMatrix
+from pem_spgemm_tpu.ops import cstruct, symbolic
+from pem_spgemm_tpu.ops.scanops import can_pack
 
 AXIS = "d"
+SENT = np.int32(0x7FFFFFFF)
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
@@ -45,32 +50,23 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs[:n]), (AXIS,))
 
 
-def _dense_tiles_host(t: TiledMatrix, dtype) -> np.ndarray:
-    """Host-side densification of a TiledMatrix (planning path)."""
-    out = np.zeros((t.ntiles, 256), dtype)
-    et = np.asarray(t.elem_tile)
-    rc = np.asarray(t.rowcol)
-    out[et, rc] = np.asarray(t.vals).astype(dtype)
-    return out.reshape(t.ntiles, 16, 16)
-
-
 @dataclasses.dataclass
 class ShardedPlan:
-    """Host-built static plan for one sharded multiply."""
+    """Device-built static plan for one sharded multiply."""
 
     n_devices: int
     # device inputs, leading axis = device
-    a_dense: np.ndarray      # (n, a_cap, 16, 16)
-    b_dense: np.ndarray      # (n, b_chunk, 16, 16) stage-0 chunks
-    pairs_a: np.ndarray      # (n, stages, stage_cap) local A tile index
-    pairs_b: np.ndarray      # (n, stages, stage_cap) index within B chunk
-    seg: np.ndarray          # (n, stages, stage_cap) local C tile id (pad=c_cap)
-    rowcol: np.ndarray       # (n, nnz_cap) intra-tile coords of local C
-    elem_tile: np.ndarray    # (n, nnz_cap) local C tile index
+    a_dense: jax.Array       # (n, a_cap+1, 16, 16) local A slices (+zero)
+    b_dense: jax.Array       # (n, b_chunk, 16, 16) stage-0 chunks
+    pairs_a: jax.Array       # (n, stages, stage_cap) local A tile index
+    pairs_b: jax.Array       # (n, stages, stage_cap) index within B chunk
+    seg: jax.Array           # (n, stages, stage_cap) local C tile id (pad=c_cap)
+    rowcol: jax.Array        # (n, nnz_cap) intra-tile coords of local C
+    elem_tile: jax.Array     # (n, nnz_cap) local C tile index
     c_cap: int
-    # host-side assembly info
-    c_tile_row: np.ndarray   # (n, c_cap)
-    c_tile_col: np.ndarray   # (n, c_cap)
+    # host-side assembly info (device arrays; converted at assembly)
+    c_tile_row: jax.Array    # (n, c_cap)
+    c_tile_col: jax.Array    # (n, c_cap)
     c_nnz_per_dev: np.ndarray  # (n,)
     c_nnz: int
     n_pairs: int
@@ -80,131 +76,134 @@ class ShardedPlan:
         return self.pairs_a.shape[1]
 
 
+@partial(jax.jit, static_argnames=("p_cap", "n", "b_chunk", "stage_cap",
+                                   "a_cap", "c_cap", "nnz_cap"))
+def _plan_layout16(key_s, a_s, b_s, seg_s, gptr, t_row, t_col, c_bounds,
+                   a_lo_dev, a_flat, b_flat, n_btiles,
+                   rowcol_g, elem_t_g, cptr, c_nnz,
+                   *, p_cap, n, b_chunk, stage_cap, a_cap, c_cap, nnz_cap):
+    """Jitted layout: padded schedule tables, operand shards (16x16), and
+    the per-device element structure (intra-tile coords + local tile)."""
+    flat = n * n * stage_cap
+    pos = jnp.arange(p_cap, dtype=jnp.int32)
+    live = key_s < n * n
+    rank = pos - gptr[jnp.minimum(key_s, n * n)]
+    dst = jnp.where(live & (rank < stage_cap),
+                    key_s * stage_cap + rank, flat)
+    dev_s = jnp.minimum(key_s // n, n - 1)
+    pa = jnp.zeros((flat,), jnp.int32).at[dst].set(
+        a_s - a_lo_dev[dev_s], mode="drop")
+    pb = jnp.zeros((flat,), jnp.int32).at[dst].set(
+        b_s % b_chunk, mode="drop")
+    sg = jnp.full((flat,), c_cap, jnp.int32).at[dst].set(
+        seg_s - c_bounds[dev_s], mode="drop")
+
+    # A shards: gather 1KB flat rows, zero row at the table's own tail
+    zero_row = jnp.int32(a_flat.shape[0] - 1)
+    cols = jnp.arange(a_cap + 1, dtype=jnp.int32)[None, :]
+    idx = a_lo_dev[:, None] + cols
+    a_span = jnp.where((cols < a_cap) & (idx < zero_row),
+                       jnp.minimum(idx, zero_row), zero_row)
+    A = a_flat[a_span].reshape(n, a_cap + 1, 16, 16)
+
+    bidx = jnp.arange(n * b_chunk, dtype=jnp.int32)
+    B = b_flat[jnp.where(bidx < n_btiles, bidx,
+                         jnp.int32(b_flat.shape[0] - 1))].reshape(
+        n, b_chunk, 16, 16)
+
+    # local C tile coordinates
+    t = jnp.arange(cptr.shape[0] - 1, dtype=jnp.int32)
+    dev_t = jnp.searchsorted(c_bounds[1:-1], t, side="right"
+                             ).astype(jnp.int32)
+    local_t = t - c_bounds[dev_t]
+    real_t = t_row[t] != SENT
+    cdst = jnp.where(real_t & (local_t < c_cap),
+                     dev_t * c_cap + local_t, n * c_cap)
+    CR = jnp.full((n * c_cap,), SENT, jnp.int32).at[cdst].set(
+        t_row[t], mode="drop")
+    CC = jnp.full((n * c_cap,), SENT, jnp.int32).at[cdst].set(
+        t_col[t], mode="drop")
+
+    # per-device element structure: the global tile-major stream slices
+    # contiguously per device (tiles sorted, device ranges contiguous)
+    epos = jnp.arange(rowcol_g.shape[0], dtype=jnp.int32)
+    te = jnp.minimum(elem_t_g, cptr.shape[0] - 2)
+    dev_e = jnp.searchsorted(c_bounds[1:-1], te, side="right"
+                             ).astype(jnp.int32)
+    local_e = epos - cptr[c_bounds[dev_e]]
+    edst = jnp.where((epos < c_nnz) & (local_e < nnz_cap),
+                     dev_e * nnz_cap + local_e, n * nnz_cap)
+    RC = jnp.zeros((n * nnz_cap,), jnp.int32).at[edst].set(
+        rowcol_g, mode="drop")
+    ET = jnp.zeros((n * nnz_cap,), jnp.int32).at[edst].set(
+        te - c_bounds[dev_e], mode="drop")
+
+    return (pa.reshape(n, n, stage_cap), pb.reshape(n, n, stage_cap),
+            sg.reshape(n, n, stage_cap), A, B,
+            RC.reshape(n, nnz_cap), ET.reshape(n, nnz_cap),
+            CR.reshape(n, c_cap), CC.reshape(n, c_cap))
+
+
 def plan_sharded_spgemm(a: TiledMatrix, b: TiledMatrix, n_devices: int,
                         dtype=np.float32) -> ShardedPlan:
-    """Build the per-device pair schedule and operand shards on the host."""
-    n = n_devices
-    n_a = a.ntiles
-    a_row = np.asarray(a.tile_row)[:n_a]
-    a_col = np.asarray(a.tile_col)[:n_a]
-    b_rowptr = np.asarray(b.tile_rowptr)
-    b_col = np.asarray(b.tile_col)[:b.ntiles]
-    b_masks = np.asarray(b.masks)[:b.ntiles]
-    a_masks = np.asarray(a.masks)[:n_a]
+    """Device planner: pair expansion (jitted symbolic phase), exact C
+    bitmask structure (ops/cstruct), ring schedule (shared jitted phase
+    with the macro planner).  Host traffic: three O(n_devices) D2Hs."""
     from pem_spgemm_tpu.ops.convert import transpose_masks
-    b_tmasks = np.asarray(b.tmasks if b.tmasks is not None
-                          else transpose_masks(b_masks))[:b.ntiles]
+    from pem_spgemm_tpu.parallel.sharded_macro import _plan_schedule
+    n = n_devices
+    del dtype                 # value dtype rides the operands' dense_flat
 
-    # --- expand all pairs (host mirror of ops/symbolic.expand_pairs) ---
-    bcnt = b_rowptr[a_col + 1] - b_rowptr[a_col]
-    offsets = np.concatenate([[0], np.cumsum(bcnt)])
-    n_pairs = int(offsets[-1])
-    a_idx = np.repeat(np.arange(n_a, dtype=np.int64), bcnt)
-    b_idx = b_rowptr[a_col[a_idx]] + (np.arange(n_pairs) - offsets[a_idx])
-    c_row = a_row[a_idx]
-    c_col = b_col[b_idx]
-    order = np.lexsort((c_col, c_row))
-    a_idx, b_idx, c_row, c_col = (x[order] for x in
-                                  (a_idx, b_idx, c_row, c_col))
-    ckey = c_row.astype(np.int64) * (b.n_tile_cols + 1) + c_col
-    uniq, c_tile_id, tile_pairs = np.unique(ckey, return_inverse=True,
-                                            return_counts=True)
-    n_c = len(uniq)
+    offsets = symbolic.pair_counts(a.tile_col, b.tile_rowptr,
+                                   jnp.int32(a.ntiles))
+    n_pairs = int(offsets[-1])                      # D2H #1
+    p_cap = round_up_bucket(max(1, n_pairs))
+    packed = can_pack(a.n_tile_rows, b.n_tile_cols)
+    c_row, c_col, a_idx, b_idx, seg, cnt_c = symbolic.expand_pairs(
+        offsets, a.tile_row, a.tile_col, b.tile_rowptr, b.tile_col,
+        jnp.int32(n_pairs), p_cap, packed)
 
-    # --- C masks + nnz per tile (host mirror of ops/cstruct.c_masks) ---
-    am = a_masks[a_idx]
-    bt = b_tmasks[b_idx]
-    packed = np.zeros((n_pairs, 16), np.int64)
-    for c in range(16):
-        packed |= (((am & bt[:, c:c + 1]) != 0).astype(np.int64) << c)
-    cmask = np.zeros((n_c, 16), np.int64)
-    np.bitwise_or.at(cmask, c_tile_id, packed)
-    popc = np.unpackbits(cmask.astype(np.uint16).view(np.uint8),
-                         axis=1).sum(axis=1)
-    c_first_row = (c_row[np.concatenate([[0], np.cumsum(tile_pairs)[:-1]])])
-    c_first_col = (c_col[np.concatenate([[0], np.cumsum(tile_pairs)[:-1]])])
-
-    # --- partition C tiles into n contiguous ranges balanced by pairs ---
-    pair_cum = np.concatenate([[0], np.cumsum(tile_pairs)])
-    targets = np.arange(1, n) * (n_pairs / n)
-    cuts = np.searchsorted(pair_cum, targets)           # C tile boundaries
-    c_bounds = np.concatenate([[0], cuts, [n_c]])
-    p_bounds = pair_cum[c_bounds]
-
-    # --- B value chunks ---
-    b_chunk = -(-b.ntiles // n)
-    owner = b_idx // b_chunk
-
-    stage_blocks = [[None] * n for _ in range(n)]   # [dev][stage] -> indices
-    for d in range(n):
-        lo, hi = p_bounds[d], p_bounds[d + 1]
-        local = np.arange(lo, hi)
-        st = (d - owner[lo:hi]) % n                 # ring schedule
-        so = np.argsort(st, kind="stable")
-        local = local[so]
-        st = st[so]
-        ptr = np.searchsorted(st, np.arange(n + 1))
-        for s in range(n):
-            stage_blocks[d][s] = local[ptr[s]:ptr[s + 1]]
-
-    stage_cap = max(1, max(len(blk) for row in stage_blocks for blk in row))
-    stage_cap = round_up_bucket(stage_cap)
-
-    # --- per-device local caps ---
-    c_counts = np.diff(c_bounds)
-    c_cap = round_up_bucket(max(1, int(c_counts.max())))
-    a_lo = np.empty(n, np.int64)
-    a_caps = np.empty(n, np.int64)
-    for d in range(n):
-        lo, hi = p_bounds[d], p_bounds[d + 1]
-        if hi > lo:
-            a_lo[d] = a_idx[lo:hi].min()
-            a_caps[d] = a_idx[lo:hi].max() - a_lo[d] + 1
-        else:
-            a_lo[d], a_caps[d] = 0, 1
+    b_chunk = max(1, -(-b.ntiles // n))
+    stats, key_s, a_s, b_s, seg_s, gptr, t_row, t_col, c_bounds = \
+        _plan_schedule(c_row, c_col, a_idx, b_idx, seg,
+                       jnp.int32(n_pairs), cnt_c,
+                       p_cap=p_cap, n=n, b_chunk=b_chunk)
+    stats_h = np.asarray(stats)                     # D2H #2 (O(n))
+    c_bounds_h = stats_h[:n + 1].astype(np.int64)
+    a_lo_h = stats_h[2 * (n + 1):2 * (n + 1) + n]
+    a_hi_h = stats_h[2 * (n + 1) + n:2 * (n + 1) + 2 * n]
+    stage_cap = max(1, round_up_bucket(int(stats_h[-1])))
+    a_lo_h = np.where(a_lo_h == SENT, 0, a_lo_h)
+    a_caps = np.maximum(1, a_hi_h - a_lo_h + 1)
     a_cap = round_up_bucket(int(a_caps.max()))
+    n_c = int(c_bounds_h[-1])
+    c_counts = np.diff(c_bounds_h)
+    c_cap = round_up_bucket(max(1, int(c_counts.max())))
 
-    nnz_per_tile_dev = [popc[c_bounds[d]:c_bounds[d + 1]] for d in range(n)]
-    nnz_per_dev = np.array([x.sum() for x in nnz_per_tile_dev], np.int64)
-    nnz_cap = round_up_bucket(max(1, int(nnz_per_dev.max())))
+    # exact C structure (device): bitmasks + per-tile nnz + set-bit coords
+    b_tmasks = b.tmasks if b.tmasks is not None else transpose_masks(b.masks)
+    cm_cap = round_up_bucket(max(1, n_c))
+    _ctr, _ctc, cmask, cptr, _pp = cstruct.c_masks(
+        a.masks, b_tmasks, a_idx, b_idx, seg, c_row, c_col, cm_cap)
+    nnz_dev = cptr[jnp.asarray(c_bounds_h, jnp.int32)]
+    nnz_dev_h = np.diff(np.asarray(nnz_dev).astype(np.int64))  # D2H #3
+    c_nnz = int(nnz_dev_h.sum())
+    nnz_cap = round_up_bucket(max(1, int(nnz_dev_h.max())))
+    c_nnz_cap = round_up_bucket(max(1, c_nnz))
+    rowcol_g, elem_t_g = cstruct.c_rowcol(cmask, cptr, c_nnz_cap)
 
-    # --- build padded device arrays ---
-    a_dense_all = _dense_tiles_host(a, dtype)
-    b_dense_all = _dense_tiles_host(b, dtype) if b is not a else a_dense_all
-    A = np.zeros((n, a_cap, 16, 16), dtype)
-    B = np.zeros((n, b_chunk, 16, 16), dtype)
-    PA = np.zeros((n, n, stage_cap), np.int32)
-    PB = np.zeros((n, n, stage_cap), np.int32)
-    SEG = np.full((n, n, stage_cap), c_cap, np.int32)
-    RC = np.zeros((n, nnz_cap), np.int32)
-    ET = np.zeros((n, nnz_cap), np.int32)
-    CR = np.full((n, c_cap), 0x7FFFFFFF, np.int32)
-    CC = np.full((n, c_cap), 0x7FFFFFFF, np.int32)
-    for d in range(n):
-        A[d, :a_caps[d]] = a_dense_all[a_lo[d]:a_lo[d] + a_caps[d]]
-        bl = d * b_chunk
-        bh = min(b.ntiles, bl + b_chunk)
-        if bh > bl:
-            B[d, :bh - bl] = b_dense_all[bl:bh]
-        for s in range(n):
-            blk = stage_blocks[d][s]
-            PA[d, s, :len(blk)] = a_idx[blk] - a_lo[d]
-            PB[d, s, :len(blk)] = b_idx[blk] % b_chunk
-            SEG[d, s, :len(blk)] = c_tile_id[blk] - c_bounds[d]
-        # local C structure (tile-major set-bit enumeration)
-        cm = cmask[c_bounds[d]:c_bounds[d + 1]]
-        bits = ((cm[:, :, None] >> np.arange(16)) & 1).astype(bool)
-        t_i, r_i, c_i = np.nonzero(bits)
-        RC[d, :len(t_i)] = (r_i << 4) | c_i
-        ET[d, :len(t_i)] = t_i
-        CR[d, :c_counts[d]] = c_first_row[c_bounds[d]:c_bounds[d + 1]]
-        CC[d, :c_counts[d]] = c_first_col[c_bounds[d]:c_bounds[d + 1]]
+    pa, pb, sg, A, B, RC, ET, CR, CC = _plan_layout16(
+        key_s, a_s, b_s, seg_s, gptr, t_row, t_col, c_bounds,
+        jnp.asarray(a_lo_h, jnp.int32),
+        a.dense_flat(), b.dense_flat(), jnp.int32(b.ntiles),
+        rowcol_g, elem_t_g, cptr, jnp.int32(c_nnz),
+        p_cap=p_cap, n=n, b_chunk=b_chunk, stage_cap=stage_cap,
+        a_cap=a_cap, c_cap=c_cap, nnz_cap=nnz_cap)
 
     return ShardedPlan(
-        n_devices=n, a_dense=A, b_dense=B, pairs_a=PA, pairs_b=PB, seg=SEG,
+        n_devices=n, a_dense=A, b_dense=B, pairs_a=pa, pairs_b=pb, seg=sg,
         rowcol=RC, elem_tile=ET, c_cap=c_cap, c_tile_row=CR, c_tile_col=CC,
-        c_nnz_per_dev=nnz_per_dev, c_nnz=int(nnz_per_dev.sum()),
-        n_pairs=n_pairs)
+        c_nnz_per_dev=nnz_dev_h, c_nnz=c_nnz, n_pairs=n_pairs)
 
 
 def _local_numeric(a_dense, b_chunk0, pairs_a, pairs_b, seg, rowcol,
@@ -232,7 +231,8 @@ def _local_numeric(a_dense, b_chunk0, pairs_a, pairs_b, seg, rowcol,
 
     # Mark the accumulator device-varying up front so the loop carry type is
     # stable (it becomes varying after the first scatter-add anyway).
-    c_dense = lax.pcast(jnp.zeros((c_cap, 16, 16), acc_dtype), (AXIS,), to='varying')
+    c_dense = lax.pcast(jnp.zeros((c_cap, 16, 16), acc_dtype), (AXIS,),
+                        to='varying')
     _, c_dense = lax.fori_loop(0, n_stages, stage, (b_chunk0, c_dense))
     pos = jnp.minimum(elem_tile * 256 + rowcol, c_cap * 256 - 1)
     return c_dense.reshape(-1)[pos]
@@ -259,13 +259,17 @@ def sharded_numeric(plan: ShardedPlan, mesh: Mesh,
 
 def assemble_sharded(plan: ShardedPlan, c_vals_dev: np.ndarray):
     """Host assembly of per-device values into global COO triplets."""
+    rowcol = np.asarray(plan.rowcol)
+    elem_tile = np.asarray(plan.elem_tile)
+    ctr = np.asarray(plan.c_tile_row)
+    ctc = np.asarray(plan.c_tile_col)
     rows_l, cols_l, vals_l = [], [], []
     for d in range(plan.n_devices):
         nv = int(plan.c_nnz_per_dev[d])
-        rc = plan.rowcol[d, :nv]
-        et = plan.elem_tile[d, :nv]
-        rows_l.append(plan.c_tile_row[d, et] * 16 + (rc >> 4))
-        cols_l.append(plan.c_tile_col[d, et] * 16 + (rc & 15))
+        rc = rowcol[d, :nv]
+        et = elem_tile[d, :nv]
+        rows_l.append(ctr[d, et] * 16 + (rc >> 4))
+        cols_l.append(ctc[d, et] * 16 + (rc & 15))
         vals_l.append(c_vals_dev[d, :nv])
     return (np.concatenate(rows_l), np.concatenate(cols_l),
             np.concatenate(vals_l))

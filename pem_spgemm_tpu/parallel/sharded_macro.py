@@ -2,12 +2,20 @@
 
 The macro analog of parallel/sharded.py — the regime where multi-chip
 matters most, because the B operand is dense 64KB macro tiles (the heavy
-data).  Same schedule: C macro tiles partition into contiguous per-device
+data).  Schedule: C macro tiles partition into contiguous per-device
 ranges balanced by pair count; B's dense tiles shard into n contiguous
 chunks that travel the ring via ppermute, one stage per device, overlapped
 by XLA with the current stage's batched 128x128 matmuls.  The exact
 structural pattern accumulates locally as a second 0/1 matmul (bf16
 counts), so no extra collective traffic is needed for structure.
+
+PLANNING IS DEVICE-NATIVE (round 3): pair expansion reuses the jitted
+symbolic phase (ops/symbolic), and the ring schedule — device cuts, stage
+assignment, group layout, operand sharding — is two jitted phases with
+only O(n_devices) scalars crossing to the host (bounds, caps).  Host
+memory is O(n_devices), not O(matrix); the round-2 planner densified BOTH
+operands on the host (hundreds of GB at the billion-nnz target).  Same
+pattern as ops/binned.build_plan_device.
 
 The reference has no distributed component at all (SURVEY.md section 2.3);
 this is the new scaling axis.
@@ -24,23 +32,32 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
+from pem_spgemm_tpu.config import round_up_bucket
 from pem_spgemm_tpu.formats.macro import MacroMatrix
+from pem_spgemm_tpu.ops import symbolic
+from pem_spgemm_tpu.ops.scanops import can_pack
 from pem_spgemm_tpu.parallel.sharded import AXIS, make_mesh
+
+SENT = np.int32(0x7FFFFFFF)
 
 
 @dataclasses.dataclass
 class ShardedMacroPlan:
-    """Host-built static plan for one sharded macro multiply."""
+    """Device-built static plan for one sharded macro multiply.
+
+    Arrays are jax device arrays with a leading device axis; only the
+    per-device scalar metadata (c_counts_dev, n_pairs) lives on host.
+    """
 
     n_devices: int
-    a_dense: np.ndarray      # (n, a_cap, 128, 128) local A tile slices
-    b_dense: np.ndarray      # (n, b_chunk, 128, 128) stage-0 B chunks
-    pairs_a: np.ndarray      # (n, stages, stage_cap) local A tile index
-    pairs_b: np.ndarray      # (n, stages, stage_cap) index within B chunk
-    seg: np.ndarray          # (n, stages, stage_cap) local C tile id
+    a_dense: jax.Array       # (n, a_cap+1, 128, 128) local A slices (+zero)
+    b_dense: jax.Array       # (n, b_chunk, 128, 128) stage-0 B chunks
+    pairs_a: jax.Array       # (n, stages, stage_cap) local A tile index
+    pairs_b: jax.Array       # (n, stages, stage_cap) index within B chunk
+    seg: jax.Array           # (n, stages, stage_cap) local C tile id
     c_cap: int
-    c_tile_row: np.ndarray   # (n, c_cap) global macro coords (pad sentinel)
-    c_tile_col: np.ndarray   # (n, c_cap)
+    c_tile_row: jax.Array    # (n, c_cap) global macro coords (pad sentinel)
+    c_tile_col: jax.Array    # (n, c_cap)
     c_counts_dev: np.ndarray  # (n,) true local C tile counts
     n_pairs: int
 
@@ -49,94 +66,163 @@ class ShardedMacroPlan:
         return self.pairs_a.shape[1]
 
 
-def plan_sharded_macro(a: MacroMatrix, b: MacroMatrix,
-                       n_devices: int) -> ShardedMacroPlan:
-    """Host planner: pair schedule + operand shards (numpy mirror of
-    ops/symbolic.expand_pairs at macro granularity)."""
-    n = n_devices
-    n_a = a.ntiles
-    a_row = np.asarray(a.tile_row)[:n_a]
-    a_col = np.asarray(a.tile_col)[:n_a]
-    b_rowptr = np.asarray(b.tile_rowptr)
-    b_col = np.asarray(b.tile_col)[:b.ntiles]
+@partial(jax.jit, static_argnames=("p_cap", "n", "b_chunk"))
+def _plan_schedule(c_row, c_col, a_idx, b_idx, seg, n_pairs, cnt_c,
+                   *, p_cap, n, b_chunk):
+    """Jitted phase 1: device cuts, stage keys, group layout stats.
 
-    bcnt = b_rowptr[a_col + 1] - b_rowptr[a_col]
-    offsets = np.concatenate([[0], np.cumsum(bcnt)])
-    n_pairs = int(offsets[-1])
-    a_idx = np.repeat(np.arange(n_a, dtype=np.int64), bcnt)
-    b_idx = b_rowptr[a_col[a_idx]] + (np.arange(n_pairs) - offsets[a_idx])
-    c_row = a_row[a_idx]
-    c_col = b_col[b_idx]
-    order = np.lexsort((c_col, c_row))
-    a_idx, b_idx, c_row, c_col = (x[order] for x in
-                                  (a_idx, b_idx, c_row, c_col))
-    ckey = c_row.astype(np.int64) * (b.n_macro_cols + 1) + c_col
-    uniq, c_tile_id, tile_pairs = np.unique(ckey, return_inverse=True,
-                                            return_counts=True)
-    n_c = len(uniq)
-
-    pair_cum = np.concatenate([[0], np.cumsum(tile_pairs)])
-    targets = np.arange(1, n) * (n_pairs / n)
-    cuts = np.searchsorted(pair_cum, targets)
-    c_bounds = np.concatenate([[0], cuts, [n_c]])
+    Returns small stats (D2H: bounds, caps) + the key-sorted pair stream
+    and group pointers for the layout phase.
+    """
+    valid = jnp.arange(p_cap, dtype=jnp.int32) < n_pairs
+    segc = jnp.minimum(seg, jnp.int32(p_cap))
+    tile_pairs = jnp.zeros((p_cap + 1,), jnp.int32).at[segc].add(
+        valid.astype(jnp.int32), mode="drop")
+    pair_cum = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                jnp.cumsum(tile_pairs, dtype=jnp.int32)])
+    # balanced contiguous C ranges by pair count; split the product so
+    # k * n_pairs never overflows int32 (exact floor(k*n_pairs/n))
+    k = jnp.arange(1, n, dtype=jnp.int32)
+    targets = k * (n_pairs // n) + (k * (n_pairs % n)) // n
+    cuts = jnp.searchsorted(pair_cum, targets)
+    c_bounds = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                cuts.astype(jnp.int32),
+                                cnt_c[None].astype(jnp.int32)])
     p_bounds = pair_cum[c_bounds]
 
-    b_chunk = -(-b.ntiles // n)
-    owner = b_idx // b_chunk
+    dev = jnp.searchsorted(cuts.astype(jnp.int32), segc, side="right"
+                           ).astype(jnp.int32)
+    dev = jnp.where(valid, dev, n)
+    owner = jnp.minimum(b_idx // b_chunk, n - 1)
+    stage = jnp.where(valid, (dev - owner) % n, n * n)
+    key = jnp.where(valid, dev * n + stage, jnp.int32(n * n))
 
-    stage_blocks = [[None] * n for _ in range(n)]
-    for d in range(n):
-        lo, hi = p_bounds[d], p_bounds[d + 1]
-        local = np.arange(lo, hi)
-        st = (d - owner[lo:hi]) % n
-        so = np.argsort(st, kind="stable")
-        local, st = local[so], st[so]
-        ptr = np.searchsorted(st, np.arange(n + 1))
-        for s in range(n):
-            stage_blocks[d][s] = local[ptr[s]:ptr[s + 1]]
+    # per-(device, stage) group sizes and pointers
+    gcnt = jnp.zeros((n * n + 1,), jnp.int32).at[
+        jnp.minimum(key, n * n)].add(1, mode="drop")
+    gptr = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                            jnp.cumsum(gcnt, dtype=jnp.int32)])
+    stage_cap = jnp.max(gcnt[:n * n])
 
-    stage_cap = max(1, max(len(blk) for row in stage_blocks for blk in row))
+    # per-device A slice bounds
+    a_lo = jnp.full((n + 1,), SENT, jnp.int32).at[
+        jnp.minimum(dev, n)].min(
+        jnp.where(valid, a_idx, SENT), mode="drop")
+    a_hi = jnp.full((n + 1,), -1, jnp.int32).at[
+        jnp.minimum(dev, n)].max(
+        jnp.where(valid, a_idx, -1), mode="drop")
 
-    c_counts = np.diff(c_bounds)
+    # stable key sort with payloads: pairs of one group stay C-sorted
+    key_s, a_s, b_s, seg_s = lax.sort(
+        (key, a_idx, b_idx, segc), dimension=0, num_keys=1, is_stable=True)
+
+    # per-tile coordinates (first = any pair's coords; constant per tile)
+    t_row = jnp.full((p_cap + 1,), SENT, jnp.int32).at[segc].min(
+        jnp.where(valid, c_row, SENT), mode="drop")
+    t_col = jnp.full((p_cap + 1,), SENT, jnp.int32).at[segc].min(
+        jnp.where(valid, c_col, SENT), mode="drop")
+
+    stats = jnp.concatenate([
+        c_bounds, p_bounds, a_lo[:n], a_hi[:n], stage_cap[None]])
+    return stats, key_s, a_s, b_s, seg_s, gptr, t_row, t_col, c_bounds
+
+
+@partial(jax.jit, static_argnames=("p_cap", "n", "b_chunk", "stage_cap",
+                                   "a_cap", "c_cap"))
+def _plan_layout(key_s, a_s, b_s, seg_s, gptr, t_row, t_col, c_bounds,
+                 a_lo_dev, a_dense, b_dense, n_btiles,
+                 *, p_cap, n, b_chunk, stage_cap, a_cap, c_cap):
+    """Jitted phase 2: padded schedule tables + operand shards."""
+    flat = n * n * stage_cap
+    pos = jnp.arange(p_cap, dtype=jnp.int32)
+    live = key_s < n * n
+    rank = pos - gptr[jnp.minimum(key_s, n * n)]
+    dst = jnp.where(live & (rank < stage_cap),
+                    key_s * stage_cap + rank, flat)
+    dev_s = jnp.minimum(key_s // n, n - 1)
+    pa = jnp.full((flat,), a_cap, jnp.int32).at[dst].set(
+        a_s - a_lo_dev[dev_s], mode="drop")
+    pb = jnp.zeros((flat,), jnp.int32).at[dst].set(
+        b_s % b_chunk, mode="drop")
+    sg = jnp.full((flat,), c_cap, jnp.int32).at[dst].set(
+        seg_s - c_bounds[dev_s], mode="drop")
+
+    # A shards: (n, a_cap+1) gather of 64KB rows; zero tile rides the
+    # operand table's own zero row (dense[cap])
+    zero_row = jnp.int32(a_dense.shape[0] - 1)
+    cols = jnp.arange(a_cap + 1, dtype=jnp.int32)[None, :]
+    idx = a_lo_dev[:, None] + cols
+    a_span = jnp.where((cols < a_cap) & (idx < zero_row)
+                       & (a_lo_dev[:, None] <= idx),
+                       jnp.minimum(idx, zero_row), zero_row)
+    A = a_dense[a_span]
+
+    # B chunks: contiguous split, zero-padded tail
+    bidx = jnp.arange(n * b_chunk, dtype=jnp.int32)
+    B = b_dense[jnp.where(bidx < n_btiles, bidx,
+                          jnp.int32(b_dense.shape[0] - 1))]
+
+    # local C tile coordinates
+    t = jnp.arange(p_cap + 1, dtype=jnp.int32)
+    dev_t = jnp.searchsorted(c_bounds[1:-1], t, side="right"
+                             ).astype(jnp.int32)
+    local = t - c_bounds[dev_t]
+    cdst = jnp.where((t_row != SENT) & (local < c_cap),
+                     dev_t * c_cap + local, n * c_cap)
+    CR = jnp.full((n * c_cap,), SENT, jnp.int32).at[cdst].set(
+        t_row, mode="drop")
+    CC = jnp.full((n * c_cap,), SENT, jnp.int32).at[cdst].set(
+        t_col, mode="drop")
+
+    return (pa.reshape(n, n, stage_cap), pb.reshape(n, n, stage_cap),
+            sg.reshape(n, n, stage_cap),
+            A.reshape(n, a_cap + 1, 128, 128),
+            B.reshape(n, b_chunk, 128, 128),
+            CR.reshape(n, c_cap), CC.reshape(n, c_cap))
+
+
+def plan_sharded_macro(a: MacroMatrix, b: MacroMatrix,
+                       n_devices: int) -> ShardedMacroPlan:
+    """Device planner: O(pairs) work on device, O(n_devices) host ints."""
+    n = n_devices
+    offsets = symbolic.pair_counts(a.tile_col, b.tile_rowptr,
+                                   jnp.int32(a.ntiles))
+    n_pairs = int(offsets[-1])                      # D2H feedback #1
+    p_cap = round_up_bucket(max(1, n_pairs))
+    packed = can_pack(a.n_macro_rows, b.n_macro_cols)
+    c_row, c_col, a_idx, b_idx, seg, cnt_c = symbolic.expand_pairs(
+        offsets, a.tile_row, a.tile_col, b.tile_rowptr, b.tile_col,
+        jnp.int32(n_pairs), p_cap, packed)
+
+    b_chunk = max(1, -(-b.ntiles // n))
+    stats, key_s, a_s, b_s, seg_s, gptr, t_row, t_col, c_bounds = \
+        _plan_schedule(c_row, c_col, a_idx, b_idx, seg,
+                       jnp.int32(n_pairs), cnt_c,
+                       p_cap=p_cap, n=n, b_chunk=b_chunk)
+
+    stats_h = np.asarray(stats)                     # D2H feedback #2 (O(n))
+    c_bounds_h = stats_h[:n + 1]
+    a_lo_h = stats_h[2 * (n + 1):2 * (n + 1) + n]
+    a_hi_h = stats_h[2 * (n + 1) + n:2 * (n + 1) + 2 * n]
+    stage_cap = int(stats_h[-1])
+    a_lo_h = np.where(a_lo_h == SENT, 0, a_lo_h)
+    a_caps = np.maximum(1, a_hi_h - a_lo_h + 1)
+    a_cap = round_up_bucket(int(a_caps.max()))
+    c_counts = np.diff(c_bounds_h).astype(np.int64)
     c_cap = max(1, int(c_counts.max()))
-    a_lo = np.zeros(n, np.int64)
-    a_caps = np.ones(n, np.int64)
-    for d in range(n):
-        lo, hi = p_bounds[d], p_bounds[d + 1]
-        if hi > lo:
-            a_lo[d] = a_idx[lo:hi].min()
-            a_caps[d] = a_idx[lo:hi].max() - a_lo[d] + 1
-    a_cap = int(a_caps.max())
+    stage_cap = max(1, round_up_bucket(stage_cap))
 
-    dense = np.asarray(a.dense)
-    b_dense_all = dense if b is a else np.asarray(b.dense)
-    A = np.zeros((n, a_cap, 128, 128), np.float32)
-    B = np.zeros((n, b_chunk, 128, 128), np.float32)
-    PA = np.full((n, n, stage_cap), a_cap, np.int32)   # pad -> zero tile
-    PB = np.zeros((n, n, stage_cap), np.int32)
-    SEG = np.full((n, n, stage_cap), c_cap, np.int32)  # pad -> dropped
-    CR = np.full((n, c_cap), 0x7FFFFFFF, np.int32)
-    CC = np.full((n, c_cap), 0x7FFFFFFF, np.int32)
-    c_first = np.concatenate([[0], np.cumsum(tile_pairs)[:-1]])
-    for d in range(n):
-        A[d, :a_caps[d]] = dense[a_lo[d]:a_lo[d] + a_caps[d]]
-        bl, bh = d * b_chunk, min(b.ntiles, (d + 1) * b_chunk)
-        if bh > bl:
-            B[d, :bh - bl] = b_dense_all[bl:bh]
-        for s in range(n):
-            blk = stage_blocks[d][s]
-            PA[d, s, :len(blk)] = a_idx[blk] - a_lo[d]
-            PB[d, s, :len(blk)] = b_idx[blk] % b_chunk
-            SEG[d, s, :len(blk)] = c_tile_id[blk] - c_bounds[d]
-        CR[d, :c_counts[d]] = c_row[c_first[c_bounds[d]:c_bounds[d + 1]]]
-        CC[d, :c_counts[d]] = c_col[c_first[c_bounds[d]:c_bounds[d + 1]]]
-    # padded pairs index PA = a_cap: append one zero tile row per device
-    A = np.concatenate([A, np.zeros((n, 1, 128, 128), np.float32)], axis=1)
+    pa, pb, sg, A, B, CR, CC = _plan_layout(
+        key_s, a_s, b_s, seg_s, gptr, t_row, t_col, c_bounds,
+        jnp.asarray(a_lo_h, jnp.int32), a.dense,
+        b.dense if b is not a else a.dense, jnp.int32(b.ntiles),
+        p_cap=p_cap, n=n, b_chunk=b_chunk, stage_cap=stage_cap,
+        a_cap=a_cap, c_cap=c_cap)
 
     return ShardedMacroPlan(
-        n_devices=n, a_dense=A, b_dense=B, pairs_a=PA, pairs_b=PB, seg=SEG,
+        n_devices=n, a_dense=A, b_dense=B, pairs_a=pa, pairs_b=pb, seg=sg,
         c_cap=c_cap, c_tile_row=CR, c_tile_col=CC,
-        c_counts_dev=c_counts.astype(np.int64), n_pairs=n_pairs)
+        c_counts_dev=c_counts, n_pairs=n_pairs)
 
 
 def _local_macro(a_dense, b_chunk0, pairs_a, pairs_b, seg, *,
@@ -165,18 +251,21 @@ def _local_macro(a_dense, b_chunk0, pairs_a, pairs_b, seg, *,
         return b_nxt, c_dense, c_cnt
 
     acc_dtype = jnp.float32
-    c_dense = lax.pcast(jnp.zeros((c_cap, 128, 128), acc_dtype), (AXIS,), to='varying')
-    c_cnt = lax.pcast(jnp.zeros((c_cap, 128, 128), jnp.bfloat16), (AXIS,), to='varying')
+    c_dense = lax.pcast(jnp.zeros((c_cap, 128, 128), acc_dtype), (AXIS,),
+                        to='varying')
+    c_cnt = lax.pcast(jnp.zeros((c_cap, 128, 128), jnp.bfloat16), (AXIS,),
+                      to='varying')
     _, c_dense, c_cnt = lax.fori_loop(0, n_stages, stage,
                                       (b_chunk0, c_dense, c_cnt))
     return c_dense, c_cnt
 
 
 def sharded_macro_numeric(plan: ShardedMacroPlan, mesh: Mesh,
-                          precision="highest"):
+                          precision="highest", as_numpy: bool = True):
     """Run the sharded macro numeric phase.
 
-    Returns (c_dense, c_counts) as host arrays with leading device axis."""
+    Returns (c_dense, c_counts) with leading device axis — host numpy by
+    default (assembly path); as_numpy=False leaves them on device."""
     spec = P(AXIS)
     fn = partial(_local_macro, n_stages=plan.stages, c_cap=plan.c_cap,
                  precision=precision)
@@ -186,6 +275,8 @@ def sharded_macro_numeric(plan: ShardedMacroPlan, mesh: Mesh,
     c_dense, c_cnt = jax.jit(shard_fn)(
         plan.a_dense, plan.b_dense, plan.pairs_a, plan.pairs_b, plan.seg)
     n = plan.n_devices
+    if not as_numpy:
+        return c_dense, c_cnt
     return (np.asarray(c_dense).reshape(n, plan.c_cap, 128, 128),
             np.asarray(c_cnt, dtype=np.float32).reshape(
                 n, plan.c_cap, 128, 128))
@@ -193,13 +284,15 @@ def sharded_macro_numeric(plan: ShardedMacroPlan, mesh: Mesh,
 
 def assemble_sharded_macro(plan: ShardedMacroPlan, c_dense, c_counts):
     """Host assembly: per-device macro C tiles -> global COO triplets."""
+    ctr = np.asarray(plan.c_tile_row)
+    ctc = np.asarray(plan.c_tile_col)
     rows_l, cols_l, vals_l = [], [], []
     for d in range(plan.n_devices):
         nc = int(plan.c_counts_dev[d])
         cnt = c_counts[d, :nc]
         t, r, c = np.nonzero(cnt > 0)
-        rows_l.append(plan.c_tile_row[d, t] * 128 + r)
-        cols_l.append(plan.c_tile_col[d, t] * 128 + c)
+        rows_l.append(ctr[d, t] * 128 + r)
+        cols_l.append(ctc[d, t] * 128 + c)
         vals_l.append(c_dense[d, t, r, c])
     rows = np.concatenate(rows_l)
     cols = np.concatenate(cols_l)
