@@ -68,6 +68,77 @@ def check(name, m, window):
     return ok
 
 
+def check_class_call2_direct(name, t, p, n_steps, ar, br, seed=0):
+    """Drive class_call2 ON HARDWARE against a direct einsum oracle.
+
+    Adversarial axes the interpreter cannot prove (it does not model
+    in-flight DMAs): ODD n_steps (the round-3 drain bug), n_steps=1
+    (no odd slot at all), ragged per-tile pair counts (run-plan
+    signatures), and boundary step counts around MIN_CLASS_STEPS.
+    """
+    from pem_spgemm_tpu.ops import pallas_stencil as ps
+    rs = np.random.default_rng(seed)
+    p_list = (p,) * t if isinstance(p, int) else p
+    n_p = sum(p_list)
+    a_tbl = jnp.asarray(rs.standard_normal((ar + 8, 128, 128)), jnp.float32)
+    b_tbl = jnp.asarray(rs.standard_normal((br + 8, 128, 128)), jnp.float32)
+    a_offs = tuple(int(x) for x in rs.integers(0, ar, n_p))
+    b_offs = tuple(int(x) for x in rs.integers(0, br, n_p))
+    bases = np.empty(2 * n_steps, np.int32)
+    bases[0::2] = rs.integers(0, 8, n_steps)
+    bases[1::2] = rs.integers(0, 8, n_steps)
+    c_cap = max(256, -(-n_steps * t // 256) * 256)
+    c_num = jnp.zeros((c_cap, 128, 128), jnp.float32)
+    c_pat = jnp.zeros((c_cap, 128, 128), jnp.bfloat16)
+    num, pat = ps.class_call2(c_num, c_pat, a_tbl, b_tbl,
+                              jnp.asarray(bases), t, p, ar, br,
+                              a_offs, b_offs, 0, n_steps, "highest")
+    an, bn = np.asarray(a_tbl, np.float64), np.asarray(b_tbl, np.float64)
+    want = np.zeros((n_steps * t, 128, 128))
+    for s in range(n_steps):
+        a0, b0 = bases[2 * s], bases[2 * s + 1]
+        k = 0
+        for tt in range(t):
+            for _ in range(p_list[tt]):
+                want[s * t + tt] += an[a0 + a_offs[k]] @ bn[b0 + b_offs[k]]
+                k += 1
+    got = np.asarray(num)[:n_steps * t]
+    err = np.max(np.abs(got - want) / np.maximum(np.abs(want), 1e-30))
+    ok = err < 1e-5
+    print(f"[class_call2 {name}] t={t} p={p} steps={n_steps} "
+          f"max_rel_err={err:.2e} -> {'OK' if ok else 'MISMATCH'}",
+          flush=True)
+    return ok
+
+
+def check_plan(name, m, planner, min_cov=0.0):
+    """End-to-end stencil/run plan vs the XLA accumulate, ON HARDWARE."""
+    from pem_spgemm_tpu.ops import pallas_stencil as ps
+    n_pairs, (c_row, c_col, a_idx, b_idx, seg, cnt) = _pairs(m, 256)
+    n_tiles = int(cnt)
+    plan = planner(seg, a_idx, b_idx, c_row, c_col, n_pairs, n_tiles,
+                   m.dense.shape[0], m.dense.shape[0])
+    num, pat = ps.stencil_accumulate(m.dense, m.dense, plan, "highest")
+    ref_n, ref_p = macro.accumulate_macro(
+        m.dense, m.dense, a_idx, b_idx, seg,
+        -(-n_tiles // 256) * 256, 256, jnp.float32, "highest")
+    order = plan.order
+    real = order < n_tiles
+    gn = np.asarray(num)[:len(order)][real]
+    rn = np.asarray(ref_n)[order[real]]
+    err = np.max(np.abs(gn - rn) / np.maximum(np.abs(rn), 1e-30))
+    pat_ok = bool(np.array_equal(
+        np.asarray(pat, np.float32)[:len(order)][real] > 0,
+        np.asarray(ref_p, np.float32)[order[real]] > 0))
+    ok = err < 1e-5 and pat_ok and np.unique(order[real]).size == n_tiles
+    print(f"[{name}] coverage={plan.coverage:.3f} "
+          f"classes={len(plan.classes)} res_tiles={plan.n_res_tiles} "
+          f"max_rel_err={err:.2e} pattern_ok={pat_ok} -> "
+          f"{'OK' if ok else 'MISMATCH'}", flush=True)
+    assert plan.coverage >= min_cov, (plan.coverage, min_cov)
+    return ok
+
+
 def main():
     print("device:", jax.devices()[0], flush=True)
     ok = True
@@ -77,10 +148,31 @@ def main():
     m = coo_to_macro(coo, dtype=jnp.float32)
     ok &= check("irregular w=64", m, 64)
     ok &= check("irregular w=128", m, 128)
+
+    # class_call2 direct drives: odd/single/boundary step counts + ragged
+    ok &= check_class_call2_direct("steps=1", 2, 2, 1, 6, 6)
+    ok &= check_class_call2_direct("steps=3 odd", 4, 3, 3, 10, 10, seed=1)
+    ok &= check_class_call2_direct("steps=5 odd", 8, 2, 5, 12, 12, seed=2)
+    ok &= check_class_call2_direct("steps=8 even", 8, 3, 8, 16, 16, seed=3)
+    ok &= check_class_call2_direct("ragged", 3, (1, 4, 2), 7, 9, 9, seed=4)
+
+    # end-to-end plans on hardware: periodic (stencil), aperiodic (runs),
+    # and residual mixing (scattered tail under the run plan)
+    from pem_spgemm_tpu.ops import pallas_stencil as ps
+    from pem_spgemm_tpu.models.synthetic import wandering_device
+    coo = banded(n=16000, bands=tuple(range(-16, 16)), seed=3)
+    ok &= check_plan("stencil banded", coo_to_macro(coo, jnp.float32),
+                     ps.plan_stencil, min_cov=0.9)
+    coo = wandering_device(n=32768, width=32, block=128, seed=11)
+    ok &= check_plan("runs wandering", coo_to_macro(coo, jnp.float32),
+                     ps.plan_runs, min_cov=0.6)
+
     if "--full" in sys.argv:
         coo = banded(n=1_000_000, bands=tuple(range(-32, 32)), seed=1)
         m = coo_to_macro(coo, dtype=jnp.float32)
         ok &= check("banded64-1M w=WINDOW", m, pm2.WINDOW)
+        ok &= check_plan("stencil banded64-1M", m, ps.plan_stencil,
+                         min_cov=0.9)
     print("PASS" if ok else "FAIL", flush=True)
     sys.exit(0 if ok else 1)
 
