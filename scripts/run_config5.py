@@ -19,6 +19,16 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# the virtual mesh timeshares ONE core: at 10^8 nnz a ring stage's matmuls
+# exceed the CPU collectives' default 40s termination timeout
+flags = os.environ.get("XLA_FLAGS", "")
+if "collective_call_terminate" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=3000"
+        " --xla_cpu_collective_timeout_seconds=3000").strip()
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")

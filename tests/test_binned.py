@@ -142,3 +142,28 @@ def test_device_plan_residual():
     order = np.lexsort((want.col, want.row))
     np.testing.assert_array_equal(r, want.row[order])
     np.testing.assert_allclose(v, want.data[order], rtol=1e-5, atol=1e-6)
+
+
+def test_dup_free_split_exact():
+    # the plan must split width classes into sort-free (duplicate-free)
+    # and sort sub-buckets, with measured scan depths, and stay exact on
+    # a hub-heavy matrix where both paths carry real rows
+    coo = power_law(n=3000, nnz=15000, seed=9, hub_correlation=0.3)
+    a = coo_to_tiled(coo, dtype=np.float32)
+    plan = binned.build_plan_device(a, a)
+    frees = [b for b in plan.buckets if b.single and b.m > 1]
+    dups = [b for b in plan.buckets if not b.single]
+    assert frees, "no multi-chunk sort-free sub-bucket was split out"
+    assert dups, "no sort-path bucket survived (test matrix too easy)"
+    assert all(b.rounds >= 1 for b in dups)
+    stream = binned.binned_multiply(plan)
+    stream.c_nnz = int(stream.c_nnz)
+    s = coo.to_scipy().tocsr()
+    want = (s @ s).tocoo()
+    want.sum_duplicates()
+    assert stream.c_nnz == want.nnz
+    r, c, v = stream.to_coo_arrays()
+    order = np.lexsort((want.col, want.row))
+    np.testing.assert_array_equal(r, want.row[order])
+    np.testing.assert_array_equal(c, want.col[order])
+    np.testing.assert_allclose(v, want.data[order], rtol=1e-5, atol=1e-6)
