@@ -211,3 +211,33 @@ def test_pallas_path_interpret_matches_xla():
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(np_) > 0,
                                   np.asarray(nx) > 0)
+
+
+def test_sharded_dia_matches_single_device():
+    # halo-exchange column sharding (parallel/sharded_dia.py) vs the
+    # single-device XLA path and scipy, on the virtual 8-device mesh
+    import jax
+    from pem_spgemm_tpu.parallel.sharded import make_mesh
+    from pem_spgemm_tpu.parallel.sharded_dia import sharded_dia_multiply
+    from pem_spgemm_tpu.ops.dia import _dia_multiply_xla, _plan_maps, \
+        dia_to_coo
+    coo = _banded_coo(1000, (-7, -1, 0, 2, 11), seed=13)
+    a = coo_to_dia(coo, dtype=np.float32)
+    mesh = make_mesh(8)
+    c, cnt, dc_list = sharded_dia_multiply(a, a, mesh)
+    dl, idx_map = _plan_maps(a.offsets, a.offsets)
+    cx, nx = _dia_multiply_xla(a.bands, a.bands, offs_a=a.offsets,
+                               idx_map=idx_map, dc_count=len(dl),
+                               n_out=a.shape[0])
+    assert dc_list == dl
+    np.testing.assert_allclose(c, np.asarray(cx), rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(cnt > 0, np.asarray(nx) > 0)
+    # scipy end-to-end through assembly
+    s = coo.to_scipy()
+    want = (s.tocsr() @ s.tocsr()).tocoo()
+    want.sum_duplicates()
+    r, col, v = dia_to_coo(c, cnt, dc_list, coo.shape)
+    assert len(r) == want.nnz
+    order = np.lexsort((want.col, want.row))
+    np.testing.assert_allclose(v, want.data[order].astype(np.float32),
+                               rtol=2e-5, atol=1e-5)
