@@ -72,9 +72,13 @@ def main(argv=None):
     if args.save_converted:
         # checkpoint the converted format (SURVEY §5): reload with
         # io.persist.load_tiled / load_macro
-        from pem_spgemm_tpu.io.persist import save_tiled, save_macro
+        from pem_spgemm_tpu.io.persist import (save_tiled, save_macro,
+                                               save_dia)
         from pem_spgemm_tpu.ops.convert import coo_to_tiled, coo_to_macro
-        if result.engine == "macro":
+        if result.engine == "dia":
+            from pem_spgemm_tpu.ops.dia import coo_to_dia
+            save_dia(args.save_converted, coo_to_dia(coo, dtype=dtype))
+        elif result.engine == "macro":
             save_macro(args.save_converted, coo_to_macro(coo, dtype=dtype))
         else:
             save_tiled(args.save_converted,

@@ -96,3 +96,33 @@ def load_macro(path: str):
         ntiles=int(z["ntiles"]),
         nnz=int(z["nnz"]),
     )
+
+
+_MAGIC_DIA = "pem-spgemm-tpu/dia/v1"
+
+
+def save_dia(path: str, d) -> None:
+    """Persist a DiaMatrix (band stack + static offsets)."""
+    np.savez_compressed(
+        path,
+        magic=np.asarray(_MAGIC_DIA),
+        bands=np.asarray(d.bands),
+        offsets=np.asarray(d.offsets, np.int64),
+        shape=np.asarray(d.shape, np.int64),
+        nnz=np.asarray(d.nnz, np.int64),
+    )
+
+
+def load_dia(path: str):
+    """Load a DiaMatrix persisted by save_dia (device-resident)."""
+    import jax.numpy as jnp
+    from pem_spgemm_tpu.formats.dia import DiaMatrix
+    z = np.load(path, allow_pickle=False)
+    if str(z["magic"]) != _MAGIC_DIA:
+        raise ValueError(f"{path}: not a {_MAGIC_DIA} archive")
+    return DiaMatrix(
+        bands=jnp.asarray(z["bands"]),
+        shape=tuple(int(x) for x in z["shape"]),
+        offsets=tuple(int(x) for x in z["offsets"]),
+        nnz=int(z["nnz"]),
+    )

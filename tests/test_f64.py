@@ -65,6 +65,24 @@ for engine in ("fused", "masks", "element", "macro"):
     out[engine] = float(np.max(np.abs(gv - wv) / denom))
     if engine == "element":
         assert res.binned is None, "f64 must route to the merge impl"
+
+# DIA engine: banded operand, float64 band stacks end to end
+from pem_spgemm_tpu.ops.dia import coo_to_dia
+bd = sp.diags([rs.standard_normal(n - 1), rs.standard_normal(n),
+               rs.standard_normal(n - 40)], [-1, 0, 40], format="coo")
+coo_d = COOMatrix.from_scipy(bd)
+da = coo_to_dia(coo_d, dtype=jnp.float64)
+assert da.bands.dtype == jnp.float64
+res = SpGEMM(SpGEMMConfig(engine="dia", dtype=jnp.float64))(da, da)
+want_d = (bd.tocsr() @ bd.tocsr()).tocoo()
+want_d.sum_duplicates()
+assert res.c_nnz == want_d.nnz, ("dia", res.c_nnz, want_d.nnz)
+got = res.to_coo()
+order_d = np.lexsort((want_d.col, want_d.row))
+assert np.asarray(got.vals).dtype == np.float64
+denom = np.maximum(np.abs(want_d.data[order_d]), 1e-300)
+out["dia"] = float(np.max(
+    np.abs(np.asarray(got.vals) - want_d.data[order_d]) / denom))
 print(json.dumps(out))
 """
 
