@@ -80,6 +80,11 @@ class SpGEMMConfig:
     # diagonal census is at most this (band stacks are (D, n) dense).
     dia_max_bands: int = 512
 
+    # Route the binned element engine's sort-path buckets through the
+    # VMEM-resident Pallas sort+dedup kernel (ops/pallas_sort.py).
+    # Opt-in until measured against lax.sort on hardware.
+    element_vmem_sort: bool = False
+
     # "auto" picks the element engine when the mean nnz-per-occupied-tile
     # of both operands is below this; above it (but under the macro
     # threshold) the Tile16 fused engine runs.  MEASURED on v5e (round 2,

@@ -669,6 +669,25 @@ def bucket_multiply(table, src, avals, m, w, rounds=0):
     return key, vals, first, count
 
 
+@partial(jax.jit, static_argnames=("m", "w", "rounds", "interpret"))
+def bucket_multiply_vmem(table, src, avals, m, w, rounds=0,
+                         interpret=False):
+    """bucket_multiply with the sort+dedup stage in one VMEM-resident
+    Pallas pass (ops/pallas_sort.segment_sort_dedup): HBM sees each slot
+    once in, once out; the bitonic substeps run at VPU speed instead of
+    paying lax.sort's per-substep HBM traffic.  Same contract."""
+    from pem_spgemm_tpu.ops.pallas_sort import segment_sort_dedup
+    r = src.shape[0]
+    raw = table[src]
+    cols = raw[:, :, :w].reshape(r, m * w)
+    bvals = _i2f(raw[:, :, w:]).reshape(r, m * w)
+    vals = bvals * jnp.repeat(avals, w, axis=1)
+    n_rounds = rounds or (_ceil_log2(m) + 1 if m > 1 else 1)
+    key, v, first = segment_sort_dedup(cols, vals, rounds=n_rounds,
+                                       interpret=interpret)
+    return key, v, first, jnp.sum(first.astype(jnp.int32))
+
+
 @partial(jax.jit, static_argnames=("m", "w"))
 def bucket_multiply_single(table, src, avals, m, w):
     """Sort-free fast path for single-A-element rows: the segment is one
@@ -761,14 +780,22 @@ class BinnedStream:
         return rows[order], cols[order], vals[order]
 
 
-def binned_multiply(plan: BinnedPlan) -> BinnedStream:
-    """Execute the planned binned multiply (device; one D2H for c_nnz)."""
+def binned_multiply(plan: BinnedPlan, vmem_sort: bool = False,
+                    interpret: bool = False) -> BinnedStream:
+    """Execute the planned binned multiply (device; one D2H for c_nnz).
+
+    vmem_sort=True routes sort-path buckets through the VMEM-resident
+    Pallas sort+dedup kernel (TPU; interpret=True for CPU testing)."""
     keys, vals, firsts, rowids = [], [], [], []
     total = jnp.zeros((), jnp.int32)
     for b in plan.buckets:
         if b.single:
             k, v, f, cnt = bucket_multiply_single(plan.table, b.src,
                                                   b.avals, b.m, plan.w)
+        elif vmem_sort:
+            k, v, f, cnt = bucket_multiply_vmem(plan.table, b.src,
+                                                b.avals, b.m, plan.w,
+                                                b.rounds, interpret)
         else:
             k, v, f, cnt = bucket_multiply(plan.table, b.src, b.avals,
                                            b.m, plan.w, b.rounds)

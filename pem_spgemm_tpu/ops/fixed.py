@@ -193,6 +193,7 @@ class BinnedElementPlan:
     """
 
     plan: object            # ops.binned.BinnedPlan
+    vmem_sort: bool = False  # Pallas VMEM sort+dedup for sort-path buckets
 
     def grown(self):
         return self
@@ -206,7 +207,7 @@ class BinnedElementPlan:
         whole multiply."""
         import jax.numpy as _jnp
         from pem_spgemm_tpu.ops.binned import binned_multiply
-        stream = binned_multiply(self.plan)
+        stream = binned_multiply(self.plan, vmem_sort=self.vmem_sort)
         return stream.c_nnz, _jnp.zeros((), _jnp.bool_)
 
 
@@ -318,8 +319,12 @@ def make_plan(result, config, a, b):
     if result.engine == "element":
         import numpy as np
         if result.binned is not None:
+            import jax
             from pem_spgemm_tpu.ops.binned import build_plan_device
-            return BinnedElementPlan(plan=build_plan_device(a, b))
+            return BinnedElementPlan(
+                plan=build_plan_device(a, b),
+                vmem_sort=(config.element_vmem_sort
+                           and jax.devices()[0].platform != "cpu"))
         from pem_spgemm_tpu.ops.element import scan_round_bounds
         b_rowptr = np.asarray(b.element_csr()[0])
         a_rows_np, a_cols_np = (np.asarray(x) for x in a.element_coords())

@@ -383,7 +383,10 @@ class SpGEMM:
             box["sync"] = plan.res_src
 
         with timers.phase("step3") as box:
-            stream = binned.binned_multiply(plan)
+            import jax
+            vmem = (self.config.element_vmem_sort
+                    and jax.devices()[0].platform != "cpu")
+            stream = binned.binned_multiply(plan, vmem_sort=vmem)
             box["sync"] = (stream.bucket_vals[-1] if stream.bucket_vals
                            else stream.res[2])
 

@@ -167,3 +167,47 @@ def test_dup_free_split_exact():
     np.testing.assert_array_equal(r, want.row[order])
     np.testing.assert_array_equal(c, want.col[order])
     np.testing.assert_allclose(v, want.data[order], rtol=1e-5, atol=1e-6)
+
+
+def test_vmem_sort_matches_xla_path():
+    # the Pallas VMEM sort+dedup kernel (interpret mode) must reproduce
+    # the lax.sort bucket path bit-for-bit in structure and to fp
+    # tolerance in values, across ragged widths (m=3 -> non-pow2 rows)
+    coo = power_law(n=2500, nnz=12000, seed=4, hub_correlation=0.25)
+    a = coo_to_tiled(coo, dtype=np.float32)
+    plan = binned.build_plan_device(a, a)
+    checked = 0
+    for b in plan.buckets:
+        if b.single:
+            continue
+        k0, v0, f0, c0 = binned.bucket_multiply(
+            plan.table, b.src, b.avals, b.m, plan.w, b.rounds)
+        k1, v1, f1, c1 = binned.bucket_multiply_vmem(
+            plan.table, b.src, b.avals, b.m, plan.w, b.rounds,
+            interpret=True)
+        np.testing.assert_array_equal(np.asarray(k0), np.asarray(k1))
+        np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
+        fm = np.asarray(f0)
+        # group members sum in a different order (scan direction):
+        # fp-tolerant, not bit-equal
+        np.testing.assert_allclose(np.asarray(v1)[fm], np.asarray(v0)[fm],
+                                   rtol=1e-4, atol=1e-6)
+        assert int(c0) == int(c1)
+        checked += 1
+    assert checked >= 2, "no sort-path buckets exercised"
+
+
+def test_binned_multiply_vmem_end_to_end():
+    coo = power_law(n=2000, nnz=10000, seed=6, hub_correlation=0.3)
+    a = coo_to_tiled(coo, dtype=np.float32)
+    plan = binned.build_plan_device(a, a)
+    stream = binned.binned_multiply(plan, vmem_sort=True, interpret=True)
+    stream.c_nnz = int(stream.c_nnz)
+    s = coo.to_scipy().tocsr()
+    want = (s @ s).tocoo()
+    want.sum_duplicates()
+    assert stream.c_nnz == want.nnz
+    r, c, v = stream.to_coo_arrays()
+    order = np.lexsort((want.col, want.row))
+    np.testing.assert_array_equal(r, want.row[order])
+    np.testing.assert_allclose(v, want.data[order], rtol=1e-5, atol=1e-6)
