@@ -74,8 +74,10 @@ SUITE = [
     # the DIA tier and the aperiodic pair stream defeats the stencil
     # planner, so the GENERIC macro path must carry it (the reference's
     # step 3 has no structural precondition, spgemm.cu:593-661).
+    # n must be macro-block aligned (the walk works in 128-row blocks):
+    # 999936 = 7812 * 128, the closest to 1M
     ("wandering64-1M", "wandering_device",
-     dict(n=1_000_000, seed=4), "macro", 7.0),
+     dict(n=999_936, seed=4), "macro", 7.0),
 ]
 
 
@@ -97,14 +99,18 @@ def main():
     from pem_spgemm_tpu.bench.harness import run_benchmark
     from pem_spgemm_tpu.models import synthetic
 
-    gfs, steadies, refs = [], [], []
+    gfs, steadies, pipelineds, refs = [], [], [], []
     coo = record = result = None
     for name, family, kw, engine, ref_est in SUITE:
         # release the previous entry's device buffers (results hold
         # multi-GB streams / dense C tiles) before generating the next
         coo = record = result = None
         t0 = time.time()
-        coo = getattr(synthetic, family)(**kw)
+        try:
+            coo = getattr(synthetic, family)(**kw)
+        except Exception as e:  # keep the suite going
+            log(f"[{name}] GEN FAILED: {type(e).__name__}: {e}")
+            continue
         log(f"[{name}] shape={coo.shape} nnz={coo.nnz} "
             f"({time.time() - t0:.0f}s gen) engine={engine}")
         cfg = SpGEMMConfig(warmup=1, repeat=3, engine=engine, fastest=True)
@@ -118,9 +124,12 @@ def main():
             f"interactive={record.pem_spgemm_time:.1f}ms "
             f"GFlops={record.gflops:.2f} | steady="
             f"{record.steady_state_time:.1f}ms "
-            f"({record.steady_gflops:.2f} GF) (ref est {ref_est})")
+            f"({record.steady_gflops:.2f} GF) | pipelined="
+            f"{record.pipelined_time:.1f}ms "
+            f"({record.pipelined_gflops:.2f} GF) (ref est {ref_est})")
         gfs.append(record.gflops)
         steadies.append(record.steady_gflops)
+        pipelineds.append(record.pipelined_gflops)
         refs.append(ref_est)
 
     if not gfs:
@@ -141,6 +150,8 @@ def main():
         "vs_baseline": round(geomean / ref_geo, 4),
         "steady_gflops_geomean": round(geo(steadies), 4),
         "steady_vs_baseline": round(geo(steadies) / ref_geo, 4),
+        "pipelined_gflops_geomean": round(geo(pipelineds), 4),
+        "pipelined_vs_baseline": round(geo(pipelineds) / ref_geo, 4),
         "n_matrices": len(gfs),
     }))
 

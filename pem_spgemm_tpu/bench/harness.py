@@ -215,6 +215,36 @@ def run_benchmark(coo: COOMatrix, name: str,
         fast_iters.append(time.perf_counter() - t0)
     steady = min(fast_iters) if cfg.fastest else \
         sum(fast_iters) / len(fast_iters)
+
+    # Pipelined steady state: queue `repeat` dispatches back-to-back and
+    # sync ONCE; the TPU executes them in order, so wall/repeats is the
+    # true per-multiply device time.  This matches the reference's
+    # device-event timing (cudaEvent pairs around each phase,
+    # spgemm.cu:730-755) — on this tunneled platform the per-iteration
+    # loop above pays a ~25 ms host sync each round that production
+    # hosts (and the reference's events) never see.  A tiny probe sum
+    # per iteration lets XLA free each generation's large outputs.
+    import jax.numpy as _jnp
+
+    def _probe(o):
+        leaf = plan.fence(o)
+        return _jnp.sum(_jnp.ravel(leaf)[:256].astype(_jnp.float32))
+
+    # untimed warmup: compiles the probe reduction (and any remaining
+    # plan variant) outside the timed region
+    force_sync(_probe(plan.run(a, b)))
+    last = None
+    t0 = time.perf_counter()
+    for i in range(cfg.repeat):
+        last = _probe(plan.run(a, b))
+        # async dispatch allocates every queued generation's outputs up
+        # front; bound the in-flight generations so multi-GB dense-C
+        # plans cannot exhaust HBM mid-batch
+        if (i + 1) % 4 == 0:
+            force_sync(last)
+    force_sync(last)
+    pipelined = (time.perf_counter() - t0) / cfg.repeat
+    last = None
     if result.engine == "macro":
         # Macro fixed plans return the full tuple (c_tile_row, c_tile_col,
         # c_dense, c_counts, cptr, c_nnz, overflow) — possibly in a
@@ -247,6 +277,8 @@ def run_benchmark(coo: COOMatrix, name: str,
         gflops=gflops(flop, interactive),
         steady_state_time=steady * 1e3,
         steady_gflops=gflops(flop, steady),
+        pipelined_time=pipelined * 1e3,
+        pipelined_gflops=gflops(flop, pipelined),
     )
     if verbose:
         print(report_stdout(record))

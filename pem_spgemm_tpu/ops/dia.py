@@ -139,18 +139,53 @@ def _plan_maps(offs_a, offs_b):
     return tuple(dc_list), idx_map
 
 
+# Above this many band-pair products the per-C-row static-sum graph gets
+# too large to trace/compile; fall back to the row-scatter formulation.
+_STACK_MAX_TERMS = 2048
+
+
 @partial(jax.jit, static_argnames=("offs_a", "idx_map", "dc_count",
                                    "n_out"))
 def _dia_multiply_xla(a_bands, b_bands, *, offs_a, idx_map, dc_count,
                       n_out):
-    """Unrolled band-pair accumulation: D1 steps of one (D2, n) shifted
-    multiply + static row scatter-add, for values and 0/1 masks."""
+    """Unrolled band-pair accumulation.
+
+    Two formulations, chosen by product count:
+      * small (the mid-fill regimes): per-C-row STATIC sums — every term
+        is a static slice multiply and every C row one fused elementwise
+        sum; no scatters anywhere, XLA fuses each output row into one
+        kernel.
+      * large: D1 steps of one (D2, n) shifted multiply + static row
+        scatter-add (bounded graph size; the wide-stencil regimes use
+        the Pallas kernel instead anyway).
+    """
     n_i = a_bands.shape[1]
     n_k = b_bands.shape[1]
+    d1_n, d2_n = a_bands.shape[0], b_bands.shape[0]
     pad_l = max(0, -min(offs_a))
     pad_r = max(0, n_i + max(offs_a) - n_k)
     bp = jnp.pad(b_bands, ((0, 0), (pad_l, pad_r)))
     bm = (bp != 0).astype(jnp.float32)
+    am_all = (a_bands != 0).astype(jnp.float32)
+
+    if d1_n * d2_n <= _STACK_MAX_TERMS:
+        by_row = [[] for _ in range(dc_count)]
+        for k1, d1 in enumerate(offs_a):
+            for k2 in range(d2_n):
+                by_row[idx_map[k1][k2]].append((k1, k2, pad_l + d1))
+        c_rows, cnt_rows = [], []
+        for terms in by_row:
+            acc = jnp.zeros((n_out,), a_bands.dtype)
+            macc = jnp.zeros((n_out,), jnp.float32)
+            for k1, k2, s in terms:
+                sl = jax.lax.slice(bp[k2], (s,), (s + n_out,))
+                slm = jax.lax.slice(bm[k2], (s,), (s + n_out,))
+                acc = acc + a_bands[k1, :n_out] * sl
+                macc = macc + am_all[k1, :n_out] * slm
+            c_rows.append(acc)
+            cnt_rows.append(macc)
+        return jnp.stack(c_rows), jnp.stack(cnt_rows)
+
     c = jnp.zeros((dc_count, n_out), a_bands.dtype)
     cnt = jnp.zeros((dc_count, n_out), jnp.float32)
     for k1, d1 in enumerate(offs_a):

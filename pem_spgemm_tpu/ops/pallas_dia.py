@@ -39,10 +39,20 @@ VMEM_BUDGET = 72 << 20  # bytes for the per-block working set
 
 
 def _choose_block(d1, d2, dc, span) -> int:
-    """Largest lane-aligned block length fitting the VMEM budget."""
+    """Largest lane-aligned block length fitting the VMEM budget.
+
+    Capped at 8192: the kernel's in-window reads are lane-UNALIGNED
+    static slices (band shifts), which Mosaic lowers per 128-lane tile —
+    compile time scales with D1 * L/128, and L = 64K unrolls pushed a
+    single Mosaic compile past 45 minutes (measured round 3).  8K keeps
+    per-block DMAs large (>= 0.5 MB) while compiles stay in seconds.
+    """
     per_col = 4 * (d1 + d2 + 2 * dc + 2 * d2)   # + term temporaries
     l = VMEM_BUDGET // per_col
-    l = max(512, min(1 << 16, (l // 512) * 512))
+    # compile cost ~ D1 unrolled slices x L/128 lane tiles: bound D1*L so
+    # wide stencils (D1=128) compile in minutes, not tens of minutes
+    l = min(l, (1 << 19) // max(1, d1))
+    l = max(512, min(1 << 13, (l // 512) * 512))
     return int(l)
 
 
@@ -55,6 +65,11 @@ def pallas_dia_applicable(offs_a, offs_b, dc_list, n_out, config) -> bool:
     if max(offs_b) - min(offs_b) + 1 != len(offs_b):
         return False                       # B offsets must be dense
     dc_dense = (max(offs_a) + max(offs_b)) - (min(offs_a) + min(offs_b)) + 1
+    if len(dc_list) != dc_dense:
+        return False                       # C offsets must be dense too:
+        # the kernel maps product (d1, d2) to row (d1+d2) - dc_list[0] in
+        # a DENSE row space; a gapped offs_a (spacing > len(offs_b))
+        # would misindex rows against the plan's sparse dc_list
     if dc_dense > MAX_DC_DENSE:
         return False
     # worth it only when the XLA path's product traffic dominates:
@@ -62,11 +77,14 @@ def pallas_dia_applicable(offs_a, offs_b, dc_list, n_out, config) -> bool:
     return len(offs_a) * len(offs_b) >= 4 * dc_dense
 
 
-def _kernel(a_ref, b_hbm, c_ref, cnt_ref, b_win, sem, *, l, span, c0,
+def _kernel(a_ref, b_hbm, c_ref, cnt_ref, b_win, sem, *, l, win, c0a,
             offs_rel, row_bases, d2):
     g = pl.program_id(0)
+    # DMA base and extent are both 128-aligned (Mosaic requires the lane
+    # extent to be a multiple of the tiling); the residue of the global
+    # column offset is folded into the static in-window slice starts.
     cp = pltpu.make_async_copy(
-        b_hbm.at[:, pl.ds(g * l + c0, l + span)], b_win, sem)
+        b_hbm.at[:, pl.ds(g * l + c0a, win)], b_win, sem)
     cp.start()
     cp.wait()
     c_ref[:] = jnp.zeros_like(c_ref)
@@ -89,20 +107,33 @@ def dia_multiply_pallas(a_bands, b_bands, *, offs_a, dc_list, n_out,
                         interpret=False):
     """(c_bands, c_counts) over the DENSE dc range dc_list."""
     d1, n_i = a_bands.shape
-    d2, n_k = b_bands.shape
+    d2_real, n_k = b_bands.shape
+    # Mosaic requires the window DMA's sublane extent to be a multiple of
+    # the tiling (8): pad B's band stack with zero rows (their products
+    # are zero; the extra accumulator rows are sliced off at the end).
+    d2 = -(-d2_real // 8) * 8
+    if d2 > d2_real:
+        b_bands = jnp.pad(b_bands, ((0, d2 - d2_real), (0, 0)))
     min_d1, max_d1 = min(offs_a), max(offs_a)
     span = max_d1 - min_d1
     dc_dense = len(dc_list)
-    l = _choose_block(d1, d2, dc_dense, span)
+    dc_pad = dc_dense + (d2 - d2_real)
+    l = _choose_block(d1, d2, dc_pad, span)
     g = -(-n_out // l)
     n_pad = g * l
 
     # pad A to the block grid; pad B so every window read is in bounds:
     # global padded B column for (block g, shift d1, lane i) is
-    # g*l + c0 + (d1 - min_d1) + i with c0 = pad_l + min_d1 >= 0
+    # g*l + c0 + (d1 - min_d1) + i with c0 = pad_l + min_d1 >= 0.
+    # The DMA base must be lane-aligned and its extent a multiple of 128
+    # (Mosaic tiling): split c0 = c0a + rem with c0a aligned, fold rem
+    # into the in-window offsets, and round the window extent up.
     pad_l = max(0, -min_d1)
     c0 = pad_l + min_d1
-    width_b = n_pad + c0 + span
+    c0a = (c0 // 128) * 128
+    rem = c0 - c0a
+    win = -(-(rem + l + span) // 128) * 128
+    width_b = (g - 1) * l + c0a + win
     ap = jnp.pad(a_bands.astype(jnp.float32), ((0, 0), (0, n_pad - n_i)))
     bp = jnp.pad(b_bands.astype(jnp.float32),
                  ((0, 0), (pad_l, max(0, width_b - pad_l - n_k))))
@@ -111,12 +142,12 @@ def dia_multiply_pallas(a_bands, b_bands, *, offs_a, dc_list, n_out,
     # dc_list is the dense sum range, dc_list[0] = min_d1 + min(offs_b),
     # so the row of product (d1, d2) is (d1 + d2) - dc_list[0] and the
     # D2 rows of one d1 are contiguous starting at d1 - min_d1.
-    assert dc_list[0] == min_d1 + (dc_list[-1] - max_d1 - (d2 - 1)), \
+    assert dc_list[0] == min_d1 + (dc_list[-1] - max_d1 - (d2_real - 1)), \
         "dc_list must be the dense sum range"
-    offs_rel = tuple(int(d - min_d1) for d in offs_a)
+    offs_rel = tuple(int(rem + d - min_d1) for d in offs_a)
     row_bases = tuple(int(d - min_d1) for d in offs_a)
 
-    kernel = functools.partial(_kernel, l=l, span=span, c0=c0,
+    kernel = functools.partial(_kernel, l=l, win=win, c0a=c0a,
                                offs_rel=offs_rel, row_bases=row_bases,
                                d2=d2)
     out = pl.pallas_call(
@@ -128,21 +159,21 @@ def dia_multiply_pallas(a_bands, b_bands, *, offs_a, dc_list, n_out,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
-            pl.BlockSpec((dc_dense, l), lambda i: (0, i),
+            pl.BlockSpec((dc_pad, l), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((dc_dense, l), lambda i: (0, i),
+            pl.BlockSpec((dc_pad, l), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((dc_dense, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((dc_dense, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((dc_pad, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((dc_pad, n_pad), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((d2, l + span), jnp.float32),
+            pltpu.VMEM((d2, win), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )(ap, bp)
-    return out[0][:, :n_out], out[1][:, :n_out]
+    return out[0][:dc_dense, :n_out], out[1][:dc_dense, :n_out]

@@ -57,28 +57,31 @@ def _kernel(cols_ref, vals_ref, keys_out, vals_out, first_out,
                            jnp.roll(k, d, axis=1))
             pv = jnp.where(isleft, jnp.roll(v, -d, axis=1),
                            jnp.roll(v, d, axis=1))
-            takemin = asc == isleft
-            keep_self = jnp.where(takemin, k <= pk, k >= pk)
+            takemin = ~(asc ^ isleft)    # asc == isleft, as mask algebra
+            # keep_self = takemin ? (k <= pk) : (k >= pk), written as
+            # boolean algebra: Mosaic cannot select between 1-bit vectors
+            # ("Unsupported target bitwidth for truncation")
+            keep_self = (k == pk) | (takemin ^ (k > pk))
             k = jnp.where(keep_self, k, pk)
             v = jnp.where(keep_self, v, pv)
 
     # dedup: group totals at first slots (right-to-left Hillis-Steele
-    # with segment boundaries at `last`)
+    # with segment boundaries at `last`).  Flags ride as int32 0/1:
+    # Mosaic's roll/select support for 1-bit vectors is partial.
     valid = k != SENTINEL
     prev_k = jnp.roll(k, 1, axis=1)
     first = valid & ((idx == 0) | (k != prev_k))
     next_k = jnp.roll(k, -1, axis=1)
-    last = (idx == p2 - 1) | (k != next_k)
     s = v
-    fl = last
+    fl = ((idx == p2 - 1) | (k != next_k)).astype(jnp.int32)
     for r in range(rounds):
         sh = 1 << r
         if sh >= p2:
             break
         in_range = idx < p2 - sh
         s_sh = jnp.where(in_range, jnp.roll(s, -sh, axis=1), 0.0)
-        f_sh = jnp.where(in_range, jnp.roll(fl, -sh, axis=1), True)
-        s = s + jnp.where(fl, 0.0, s_sh)
+        f_sh = jnp.where(in_range, jnp.roll(fl, -sh, axis=1), 1)
+        s = s + jnp.where(fl != 0, 0.0, s_sh)
         fl = fl | f_sh
 
     keys_out[:] = k[:, :mw]

@@ -57,6 +57,15 @@ class BenchmarkRecord:
     # reference's per-iteration methodology for pem_spgemm_time/Gflops.
     steady_state_time: float = 0.0
     steady_gflops: float = 0.0
+    # Pipelined steady state: repeat dispatches queued back-to-back with
+    # ONE final sync, wall / repeats.  On this tunneled dev platform a
+    # host<->device sync costs ~25 ms (production PCIe ~10 us), flooring
+    # the per-iteration steady number; the pipelined measure amortizes
+    # the tax across the batch, which matches the reference's methodology
+    # of timing with DEVICE events (cudaEvent pairs, spgemm.cu:730-755)
+    # rather than host round-trips.
+    pipelined_time: float = 0.0
+    pipelined_gflops: float = 0.0
 
     def csv_row(self) -> str:
         return (f"{self.matrix},{self.flop},{self.c_nnz},"
@@ -105,5 +114,10 @@ def report_stdout(record: BenchmarkRecord) -> str:
         lines += [
             f"steady-state time (plan)    : {r.steady_state_time:.4f} ms",
             f"steady-state GFlops         : {r.steady_gflops:.4f}",
+        ]
+    if r.pipelined_time:
+        lines += [
+            f"pipelined time (plan)       : {r.pipelined_time:.4f} ms",
+            f"pipelined GFlops            : {r.pipelined_gflops:.4f}",
         ]
     return "\n".join(lines)

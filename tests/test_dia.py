@@ -241,3 +241,44 @@ def test_sharded_dia_matches_single_device():
     order = np.lexsort((want.col, want.row))
     np.testing.assert_allclose(v, want.data[order].astype(np.float32),
                                rtol=2e-5, atol=1e-5)
+
+
+def test_pallas_applicable_rejects_gapped_sums():
+    # offs_a spaced wider than B's dense range -> the C diagonal set has
+    # gaps; the pallas kernel's dense row mapping would misindex, so the
+    # qualifier must refuse (ops/pallas_dia.pallas_dia_applicable).
+    from pem_spgemm_tpu.ops import pallas_dia as pd
+    from pem_spgemm_tpu.ops.dia import _plan_maps
+
+    class _FakeCfg:
+        use_pallas = True
+
+    offs_a = (0, 10)                 # spacing 10 > len(offs_b) = 5
+    offs_b = (-2, -1, 0, 1, 2)
+    dc_list, _ = _plan_maps(offs_a, offs_b)
+    dc_dense = (max(offs_a) + max(offs_b)) - (min(offs_a) + min(offs_b)) + 1
+    assert len(dc_list) < dc_dense   # gaps actually exist
+    assert not pd.pallas_dia_applicable(offs_a, offs_b, dc_list, 10_000,
+                                        _FakeCfg())
+
+
+def test_pallas_interpret_d2_not_multiple_of_8():
+    # B band count 5 pads the window DMA's sublane extent to 8 (Mosaic
+    # tiling); padded rows are zero and the accumulator slice-off must
+    # keep results exact.
+    from pem_spgemm_tpu.ops import pallas_dia as pd
+    from pem_spgemm_tpu.ops.dia import _dia_multiply_xla, _plan_maps
+    a_coo = _banded_coo(600, (5,), seed=9)
+    b_coo = _banded_coo(600, (-2, -1, 0, 1, 2), seed=10)
+    a = coo_to_dia(a_coo, dtype=np.float32)
+    b = coo_to_dia(b_coo, dtype=np.float32)
+    dc_list, idx_map = _plan_maps(a.offsets, b.offsets)
+    cx, nx = _dia_multiply_xla(a.bands, b.bands, offs_a=a.offsets,
+                               idx_map=idx_map, dc_count=len(dc_list),
+                               n_out=a.shape[0])
+    cp, np_ = pd.dia_multiply_pallas(a.bands, b.bands, offs_a=a.offsets,
+                                     dc_list=dc_list, n_out=a.shape[0],
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(cp), np.asarray(cx),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(np_) > 0, np.asarray(nx) > 0)
