@@ -82,7 +82,12 @@ class SpGEMMConfig:
 
     # Route the binned element engine's sort-path buckets through the
     # VMEM-resident Pallas sort+dedup kernel (ops/pallas_sort.py).
-    # Opt-in until measured against lax.sort on hardware.
+    # MEASURED SLOWER on v5e (round 3, scripts/bench_vmem_sort.py on the
+    # powerlaw plan): 0.6-0.7x lax.sort on every large bucket (m*w ==
+    # 768-2048) — the bitonic network's ~log2(P)^2/2 roll+select substeps
+    # at VPU speed lose to XLA's sort despite staying VMEM-resident.
+    # Kept as an option (hardware-exact, tested) for future lane-shuffle
+    # primitives; default off.
     element_vmem_sort: bool = False
 
     # "auto" picks the element engine when the mean nnz-per-occupied-tile

@@ -703,6 +703,31 @@ def bucket_multiply_single(table, src, avals, m, w):
     return key, vals, first, count
 
 
+@partial(jax.jit, static_argnames=("ms", "w"))
+def singles_multiply_flat(table, srcs, avals, seg_rows, ms, w):
+    """ALL sort-free buckets in ONE dispatch.
+
+    The sort-free contract is per-ROW (no duplicate j anywhere in the
+    row's product multiset), so the (R, m) segment structure carries no
+    information the kernel needs — chunks are independent.  Flattening
+    every single bucket into one (TOT,) chunk stream collapses ~25
+    dispatches per multiply (powerlaw plan, round 3) into one take +
+    mask, with C row ids expanded per chunk.
+
+    Returns (keys (TOT, w), vals (TOT, w), first, rows (TOT,), count).
+    """
+    src = jnp.concatenate([s.reshape(-1) for s in srcs])
+    av = jnp.concatenate([a.reshape(-1) for a in avals])
+    rows = jnp.concatenate([jnp.repeat(r, m) for r, m in
+                            zip(seg_rows, ms)])
+    raw = table[src]                                  # (TOT, 2w)
+    key = raw[:, :w]
+    vals = _i2f(raw[:, w:]) * av[:, None]
+    first = key != SENTINEL
+    count = jnp.sum(first.astype(jnp.int32))
+    return key, vals, first, rows, count
+
+
 @partial(jax.jit, static_argnames=("w",))
 def residual_multiply(table, src, avals, rowids, w):
     """Expand residual chunks and sort globally by (i, j); linear dedup.
@@ -788,11 +813,23 @@ def binned_multiply(plan: BinnedPlan, vmem_sort: bool = False,
     Pallas sort+dedup kernel (TPU; interpret=True for CPU testing)."""
     keys, vals, firsts, rowids = [], [], [], []
     total = jnp.zeros((), jnp.int32)
+    singles = tuple(b for b in plan.buckets if b.single)
+    if singles:
+        k, v, f, rows_pc, cnt = singles_multiply_flat(
+            plan.table,
+            tuple(b.src for b in singles),
+            tuple(b.avals for b in singles),
+            tuple(b.seg_rows for b in singles),
+            tuple(b.m for b in singles), plan.w)
+        keys.append(k)
+        vals.append(v)
+        firsts.append(f)
+        rowids.append(rows_pc)
+        total = total + cnt
     for b in plan.buckets:
         if b.single:
-            k, v, f, cnt = bucket_multiply_single(plan.table, b.src,
-                                                  b.avals, b.m, plan.w)
-        elif vmem_sort:
+            continue
+        if vmem_sort:
             k, v, f, cnt = bucket_multiply_vmem(plan.table, b.src,
                                                 b.avals, b.m, plan.w,
                                                 b.rounds, interpret)
