@@ -177,6 +177,12 @@ class Bucket:
                             # The plan sets ceil_log2(max duplicate run)
                             # measured from structure — runs are 2-4 long
                             # in practice, far under the class width
+    consec: bool = False    # True: the row's chunks are CONSECUTIVE table
+                            # rows (single-A-element rows — one B-row
+                            # range), so the grouped block-gather path
+                            # applies.  Dup-free multi-element rows are
+                            # single but NOT consec (their chunks span
+                            # several B rows).
 
 
 @dataclasses.dataclass(frozen=True)
@@ -298,7 +304,7 @@ def build_plan(a, b, w: int | None = None, max_chunks: int = MAX_CHUNKS,
             m=m, src=src_dev[lo:hi].reshape(r_cap, m),
             avals=av_dev[lo:hi].reshape(r_cap, m),
             seg_rows=jnp.asarray(seg_rows), n_rows=int(n_per_cls[ci]),
-            single=ci >= n_base))
+            single=ci >= n_base, consec=ci >= n_base))
 
     # residual: rows too wide for any bucket (flat stream)
     sel = ch_cls == n_cls
@@ -608,7 +614,8 @@ def build_plan_device(a, b, w: int | None = None,
             m=m, src=src_flat[lo:hi].reshape(r_cap, m),
             avals=av_flat[lo:hi].reshape(r_cap, m),
             seg_rows=seg_rows_flat[rlo:rlo + r_cap],
-            n_rows=int(counts[ci]), single=ci >= n_base))
+            n_rows=int(counts[ci]), single=ci >= n_base,
+            consec=ci >= n_base))
     buckets = _split_dup_free(buckets, cb.table, w, gran)
 
     plan = BinnedPlan(
@@ -805,46 +812,82 @@ class BinnedStream:
         return rows[order], cols[order], vals[order]
 
 
-def binned_multiply(plan: BinnedPlan, vmem_sort: bool = False,
-                    interpret: bool = False) -> BinnedStream:
-    """Execute the planned binned multiply (device; one D2H for c_nnz).
+@partial(jax.jit, static_argnames=("ms", "singles", "consecs", "rounds_t",
+                                   "w", "vmem_sort", "interpret"))
+def _binned_multiply_fused(table, srcs, avalss, seg_rowss, res_src,
+                           res_avals, res_rows, *, ms, singles, consecs,
+                           rounds_t, w, vmem_sort, interpret):
+    """The WHOLE binned multiply as one jitted program.
 
-    vmem_sort=True routes sort-path buckets through the VMEM-resident
-    Pallas sort+dedup kernel (TPU; interpret=True for CPU testing)."""
+    Dispatch latency through this dev platform's tunnel is ~1-1.5 ms per
+    call; a powerlaw plan used to issue ~27 separate bucket kernels per
+    multiply (~40 ms of pure launch overhead, measured round 3 — over
+    half the steady time).  Fusing everything into one dispatch removes
+    it; production hosts save proportionally less but still win.
+    """
     keys, vals, firsts, rowids = [], [], [], []
     total = jnp.zeros((), jnp.int32)
-    singles = tuple(b for b in plan.buckets if b.single)
-    if singles:
+    del consecs   # kept in the signature: the consec structure is real,
+    # but every BLOCK-gather formulation measured SLOWER than the flat
+    # per-chunk take (XLA vmap(dynamic_slice) on (G, 2w) blocks: 188 ms
+    # vs 39 ms on the powerlaw singles, round 3) — the batched multi-row
+    # slice lowers to a slow path while per-row gathers ride the ~11 ns
+    # DMA-issue fast path.  See NOTES.md for the Pallas alternative math.
+    single_idx = tuple(i for i, s in enumerate(singles) if s)
+    if single_idx:
         k, v, f, rows_pc, cnt = singles_multiply_flat(
-            plan.table,
-            tuple(b.src for b in singles),
-            tuple(b.avals for b in singles),
-            tuple(b.seg_rows for b in singles),
-            tuple(b.m for b in singles), plan.w)
+            table,
+            tuple(srcs[i] for i in single_idx),
+            tuple(avalss[i] for i in single_idx),
+            tuple(seg_rowss[i] for i in single_idx),
+            tuple(ms[i] for i in single_idx), w)
         keys.append(k)
         vals.append(v)
         firsts.append(f)
         rowids.append(rows_pc)
         total = total + cnt
-    for b in plan.buckets:
-        if b.single:
+    for i, s in enumerate(singles):
+        if s:
             continue
         if vmem_sort:
-            k, v, f, cnt = bucket_multiply_vmem(plan.table, b.src,
-                                                b.avals, b.m, plan.w,
-                                                b.rounds, interpret)
+            k, v, f, cnt = bucket_multiply_vmem(
+                table, srcs[i], avalss[i], ms[i], w, rounds_t[i],
+                interpret)
         else:
-            k, v, f, cnt = bucket_multiply(plan.table, b.src, b.avals,
-                                           b.m, plan.w, b.rounds)
+            k, v, f, cnt = bucket_multiply(table, srcs[i], avalss[i],
+                                           ms[i], w, rounds_t[i])
         keys.append(k)
         vals.append(v)
         firsts.append(f)
-        rowids.append(b.seg_rows)
+        rowids.append(seg_rowss[i])
         total = total + cnt
-    rr, rc_, rv, rf, rcnt = residual_multiply(
-        plan.table, plan.res_src, plan.res_avals, plan.res_rows, plan.w)
+    rr, rc_, rv, rf, rcnt = residual_multiply(table, res_src, res_avals,
+                                              res_rows, w)
     total = total + rcnt
+    return tuple(keys), tuple(vals), tuple(firsts), tuple(rowids), \
+        (rr, rc_, rv, rf), total
+
+
+def binned_multiply(plan: BinnedPlan, vmem_sort: bool = False,
+                    interpret: bool = False) -> BinnedStream:
+    """Execute the planned binned multiply (device; one D2H for c_nnz).
+
+    One fused dispatch for every bucket + the residual (see
+    _binned_multiply_fused).  vmem_sort=True routes sort-path buckets
+    through the VMEM-resident Pallas sort+dedup kernel (TPU;
+    interpret=True for CPU testing)."""
+    keys, vals, firsts, rowids, res, total = _binned_multiply_fused(
+        plan.table,
+        tuple(b.src for b in plan.buckets),
+        tuple(b.avals for b in plan.buckets),
+        tuple(b.seg_rows for b in plan.buckets),
+        plan.res_src, plan.res_avals, plan.res_rows,
+        ms=tuple(b.m for b in plan.buckets),
+        singles=tuple(b.single for b in plan.buckets),
+        consecs=tuple(b.consec for b in plan.buckets),
+        rounds_t=tuple(b.rounds for b in plan.buckets),
+        w=plan.w, vmem_sort=vmem_sort, interpret=interpret)
     return BinnedStream(
-        bucket_keys=tuple(keys), bucket_vals=tuple(vals),
-        bucket_first=tuple(firsts), bucket_rows=tuple(rowids),
-        res=(rr, rc_, rv, rf), c_nnz=total)
+        bucket_keys=keys, bucket_vals=vals,
+        bucket_first=firsts, bucket_rows=rowids,
+        res=res, c_nnz=total)
