@@ -54,6 +54,14 @@ from jax import lax
 SENTINEL = jnp.int32(0x7FFFFFFF)
 W = 32                      # slots per chunk
 MAX_CHUNKS = 4096           # widest bucket (131072 slots); beyond -> residual
+WIN = 128                   # element-window width for the consec-singles
+                            # path: 1D window gathers at arbitrary offsets
+                            # are the measured fast path (~22ns/issue),
+                            # and one 128-lane window replaces up to
+                            # WIN/w per-chunk 64B row gathers
+WIN_MIN_M = 4               # chunk classes below this keep the flat take
+                            # (1 window issue ~22ns vs m row issues
+                            # ~12ns each: the window wins from m >= 2-3)
 # chunk-count width classes: ~1.5-granular to bound padding at ~25%
 CLASSES = [1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256,
            384, 512, 768, 1024, 1536, 2048, 3072, 4096]
@@ -106,6 +114,16 @@ class ChunkedB:
     w: int
     cptr_dev: jax.Array = None   # device copies (for device-side planning)
     lens_dev: jax.Array = None
+    # element-window products (the consec-singles fast path): per-chunk
+    # element start/end, and a 2D ALIGNED view of the raw element arrays
+    # — row g holds elements [g*WIN, (g+1)*WIN) as [cols | value bits]
+    # side by side, sentinel/zero padded past NB.  Aligned row takes are
+    # the measured fast gather path; arbitrary-offset windows (1D gather
+    # with slice_sizes=(WIN,)) lower to a ~13ns/ELEMENT scalar loop.
+    starts_dev: jax.Array = None  # (NC+1,) i32: element start per chunk
+    ends_dev: jax.Array = None    # (NC+1,) i32: element row-end per chunk
+    wintab: jax.Array = None      # (ceil((NB+1)/WIN)+1, 2*WIN) i32
+    nb: int = 0                   # element count (true NB)
 
     @property
     def nc(self) -> int:
@@ -141,11 +159,32 @@ def chunk_b(b, w: int | None = None) -> ChunkedB:
     ends = rowptr[1:][owner].astype(np.int32)
     table = _build_chunk_table(b_cols, b_vals,
                                jnp.asarray(starts), jnp.asarray(ends), w)
+    nb = len(np.asarray(b_cols))
+    starts_dev = jnp.asarray(np.concatenate([starts, [nb]]), jnp.int32)
+    ends_dev = jnp.asarray(np.concatenate([ends, [nb]]), jnp.int32)
+    wintab = _build_wintab(jnp.asarray(b_cols, jnp.int32),
+                           jnp.asarray(b_vals))
     cache = ChunkedB(table=table, cptr=cptr, lens=lens, w=w,
                      cptr_dev=jnp.asarray(cptr, jnp.int32),
-                     lens_dev=jnp.asarray(lens, jnp.int32))
+                     lens_dev=jnp.asarray(lens, jnp.int32),
+                     starts_dev=starts_dev, ends_dev=ends_dev,
+                     wintab=wintab, nb=nb)
     object.__setattr__(b, "_chunk_cache", cache)
     return cache
+
+
+@jax.jit
+def _build_wintab(b_cols, b_vals):
+    """2D aligned element-window table: row g = [cols | value bits] of
+    elements [g*WIN, (g+1)*WIN), sentinel/zero padded, plus one all-dummy
+    trailing row for out-of-range window descriptors."""
+    nb = b_cols.shape[0]
+    g = -(-(nb + 1) // WIN) + 1
+    pad = g * WIN - nb
+    cols = jnp.concatenate([b_cols, jnp.full((pad,), SENTINEL)])
+    bits = jnp.concatenate([_f2i(b_vals), jnp.zeros((pad,), jnp.int32)])
+    return jnp.concatenate([cols.reshape(g, WIN), bits.reshape(g, WIN)],
+                           axis=1)
 
 
 # --------------------------------------------------------------------------
@@ -198,6 +237,11 @@ class BinnedPlan:
     w: int
     n_products: int
     table: jax.Array        # ChunkedB.table
+    # consec-singles element-window stream (device plan only): flat
+    # (TW,) wintab row / lane lo / lane hi / C row / A-value bits,
+    # taken from the 2D aligned element-window table
+    win: Optional[tuple] = None
+    wintab: Optional[jax.Array] = None
 
     def run(self):
         """One overflow-free dispatch set: see binned_multiply."""
@@ -618,12 +662,34 @@ def build_plan_device(a, b, w: int | None = None,
             consec=ci >= n_base))
     buckets = _split_dup_free(buckets, cb.table, w, gran)
 
+    # consec-singles element-window conversion: one-element rows with
+    # m >= WIN_MIN_M chunks leave the bucket machinery entirely — their
+    # products are ONE contiguous slice of B's element arrays, fetched as
+    # ceil(len/WIN) arbitrary-offset window gathers (the measured fast
+    # path) instead of m per-chunk 64-byte row gathers
+    win_parts = []
+    kept = []
+    for bk in buckets:
+        if bk.single and bk.consec and bk.m >= WIN_MIN_M:
+            win_parts.append(_bucket_to_windows(
+                bk.src[:, 0], bk.avals[:, 0], bk.seg_rows,
+                cb.starts_dev, cb.ends_dev,
+                n_wintab=int(cb.wintab.shape[0]),
+                nwin=-(-bk.m * w // WIN) + 1))
+        else:
+            kept.append(bk)
+    win = None
+    if win_parts:
+        win = tuple(jnp.concatenate([p[i] for p in win_parts])
+                    for i in range(5))
+
     plan = BinnedPlan(
-        buckets=tuple(buckets),
+        buckets=tuple(kept),
         res_src=src_flat[flat_total:],
         res_avals=av_flat[flat_total:],
         res_rows=res_rows, n_res_chunks=res_chunks,
-        w=w, n_products=n_products, table=cb.table)
+        w=w, n_products=n_products, table=cb.table,
+        win=win, wintab=cb.wintab)
     object.__setattr__(a, "_binned_plan_cache", (cache_key, plan))
     return plan
 
@@ -708,6 +774,49 @@ def bucket_multiply_single(table, src, avals, m, w):
     first = key != SENTINEL
     count = jnp.sum(first.astype(jnp.int32))
     return key, vals, first, count
+
+
+@partial(jax.jit, static_argnames=("n_wintab", "nwin"))
+def _bucket_to_windows(src0, avals0, seg_rows, starts_dev, ends_dev,
+                       n_wintab, nwin):
+    """Plan-time: one consec-single bucket -> flat ALIGNED window
+    descriptors (wintab row index, valid lane range [lo, hi), C row,
+    A-value bits).
+
+    src0 is each row's FIRST chunk id; the chunk table's element
+    start/end arrays recover the row's contiguous element range
+    [s, s+len), which spans aligned WIN-blocks s>>7 .. (s+len-1)>>7
+    (at most nwin = ceil(m*w/WIN)+1 with the straddle).  Dummy rows
+    (src0 = dummy chunk) map to the all-dummy trailing wintab row with
+    an empty lane range.
+    """
+    s = starts_dev[src0]
+    ln = ends_dev[src0] - s
+    j = jnp.arange(nwin, dtype=jnp.int32)[None, :]
+    idx = jnp.minimum((s[:, None] >> 7) + j, n_wintab - 1)
+    base = idx * WIN
+    lo = jnp.clip(s[:, None] - base, 0, WIN)
+    hi = jnp.clip(s[:, None] + ln[:, None] - base, 0, WIN)
+    r = src0.shape[0]
+    wrow = jnp.broadcast_to(seg_rows[:, None], (r, nwin))
+    wav = jnp.broadcast_to(_f2i(avals0)[:, None], (r, nwin))
+    return (idx.reshape(-1), lo.reshape(-1), hi.reshape(-1),
+            wrow.reshape(-1), wav.reshape(-1))
+
+
+@jax.jit
+def singles_window_multiply(wintab, widx, wlo, whi, wrow, wav):
+    """Execute the consec-singles window stream: ONE aligned row take
+    from the 2D element-window table + lane masking; no sort, no dedup.
+
+    Returns (keys (TW, WIN), vals, first, rows (TW,), count)."""
+    raw = wintab[widx]                                # (TW, 2*WIN)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (widx.shape[0], WIN), 1)
+    valid = (lane >= wlo[:, None]) & (lane < whi[:, None])
+    keys = jnp.where(valid, raw[:, :WIN], SENTINEL)
+    vals = _i2f(raw[:, WIN:]) * _i2f(wav)[:, None]
+    count = jnp.sum(valid.astype(jnp.int32))
+    return keys, vals, valid, wrow, count
 
 
 @partial(jax.jit, static_argnames=("ms", "w"))
@@ -815,8 +924,9 @@ class BinnedStream:
 @partial(jax.jit, static_argnames=("ms", "singles", "consecs", "rounds_t",
                                    "w", "vmem_sort", "interpret"))
 def _binned_multiply_fused(table, srcs, avalss, seg_rowss, res_src,
-                           res_avals, res_rows, *, ms, singles, consecs,
-                           rounds_t, w, vmem_sort, interpret):
+                           res_avals, res_rows, win, wintab,
+                           *, ms, singles, consecs, rounds_t, w,
+                           vmem_sort, interpret):
     """The WHOLE binned multiply as one jitted program.
 
     Dispatch latency through this dev platform's tunnel is ~1-1.5 ms per
@@ -833,6 +943,14 @@ def _binned_multiply_fused(table, srcs, avalss, seg_rowss, res_src,
     # vs 39 ms on the powerlaw singles, round 3) — the batched multi-row
     # slice lowers to a slow path while per-row gathers ride the ~11 ns
     # DMA-issue fast path.  See NOTES.md for the Pallas alternative math.
+    if win is not None:
+        k, v, f, rows_pc, cnt = singles_window_multiply(
+            wintab, win[0], win[1], win[2], win[3], win[4])
+        keys.append(k)
+        vals.append(v)
+        firsts.append(f)
+        rowids.append(rows_pc)
+        total = total + cnt
     single_idx = tuple(i for i, s in enumerate(singles) if s)
     if single_idx:
         k, v, f, rows_pc, cnt = singles_multiply_flat(
@@ -882,6 +1000,7 @@ def binned_multiply(plan: BinnedPlan, vmem_sort: bool = False,
         tuple(b.avals for b in plan.buckets),
         tuple(b.seg_rows for b in plan.buckets),
         plan.res_src, plan.res_avals, plan.res_rows,
+        plan.win, plan.wintab if plan.win is not None else None,
         ms=tuple(b.m for b in plan.buckets),
         singles=tuple(b.single for b in plan.buckets),
         consecs=tuple(b.consec for b in plan.buckets),

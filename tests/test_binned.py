@@ -211,3 +211,45 @@ def test_binned_multiply_vmem_end_to_end():
     order = np.lexsort((want.col, want.row))
     np.testing.assert_array_equal(r, want.row[order])
     np.testing.assert_allclose(v, want.data[order], rtol=1e-5, atol=1e-6)
+
+
+def test_window_singles_path_exact():
+    # rows with ONE A element hitting long B rows (m >= WIN_MIN_M chunks)
+    # route through the element-window stream (plan.win); exactness vs
+    # scipy incl. rows straddling multiple windows and short-tail windows
+    import scipy.sparse as sp
+    from pem_spgemm_tpu.formats.coo import COOMatrix
+    from pem_spgemm_tpu.ops.convert import coo_to_tiled
+
+    rs = np.random.default_rng(21)
+    n = 4000
+    rows_l, cols_l = [], []
+    # a few hub B rows of assorted lengths (incl. exactly WIN and WIN+1)
+    for hub, ln in [(7, 500), (11, 128), (13, 129), (17, 1000), (23, 37)]:
+        rows_l.append(np.full(ln, hub))
+        cols_l.append(rs.choice(n, ln, replace=False))
+    # single-element A rows pointing at the hubs
+    for i, hub in zip(range(100, 400), [7, 11, 13, 17, 23] * 60):
+        rows_l.append([i])
+        cols_l.append([hub])
+    rows = np.concatenate(rows_l).astype(np.int64)
+    cols = np.concatenate([np.asarray(c) for c in cols_l]).astype(np.int64)
+    m = sp.coo_matrix((rs.standard_normal(len(rows)), (rows, cols)),
+                      shape=(n, n))
+    m.sum_duplicates()
+    coo = COOMatrix.from_scipy(m)
+    a = coo_to_tiled(coo, dtype=np.float32)
+    b = coo_to_tiled(coo, dtype=np.float32, with_tmasks=True)
+    plan = binned.build_plan_device(a, b)
+    assert plan.win is not None          # the path actually engaged
+    stream = binned.binned_multiply(plan)
+    want = (m.tocsr() @ m.tocsr())
+    assert int(stream.c_nnz) == want.nnz
+    r, c, v = stream.to_coo_arrays()
+    wc = want.tocoo()
+    wc.sum_duplicates()
+    order = np.lexsort((wc.col, wc.row))
+    np.testing.assert_array_equal(r, wc.row[order])
+    np.testing.assert_array_equal(c, wc.col[order])
+    np.testing.assert_allclose(v, wc.data[order].astype(np.float32),
+                               rtol=1e-5, atol=1e-6)
