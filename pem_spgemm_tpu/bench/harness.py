@@ -152,11 +152,16 @@ def run_benchmark(coo: COOMatrix, name: str,
     timers = PhaseTimers()
     wall_iters = []
     result: SpGEMMResult = None
-    for _ in range(cfg.repeat):
+    for i in range(cfg.repeat):
+        # per-phase syncs are instrumentation the reference's device
+        # events don't pay: record phase detail on the first timed
+        # repeat only (see PhaseTimers.detail)
+        timers.detail = i == 0
         t0 = time.perf_counter()
         result = engine(a, b, timers)
         force_sync(result.vals)
         wall_iters.append(time.perf_counter() - t0)
+    timers.detail = True
 
     # HEADLINE methodology matches the reference: pem_spgemm_time is the
     # per-iteration wall time of the full pipeline INCLUDING host-side
@@ -166,9 +171,10 @@ def run_benchmark(coo: COOMatrix, name: str,
     # this time.  (ADVICE.md round 1, medium.)
     interactive = min(wall_iters) if cfg.fastest else \
         sum(wall_iters) / len(wall_iters)
-    s1 = timers.pick("step1", cfg.fastest, cfg.repeat)
-    s2 = timers.pick("step2", cfg.fastest, cfg.repeat)
-    s3 = timers.pick("step3", cfg.fastest, cfg.repeat)
+    # phase columns come from the detailed repeat (one iteration)
+    s1 = timers.pick("step1", cfg.fastest, 1)
+    s2 = timers.pick("step2", cfg.fastest, 1)
+    s3 = timers.pick("step3", cfg.fastest, 1)
     kernel = s1 + s2 + s3
     malloc = max(0.0, interactive - kernel)
 

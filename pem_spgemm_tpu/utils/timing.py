@@ -37,16 +37,33 @@ def force_sync(obj) -> None:
 
 
 class PhaseTimers:
-    """Accumulates named phase durations (seconds) across iterations."""
+    """Accumulates named phase durations (seconds) across iterations.
+
+    `detail` gates the per-phase device syncs: a phase boundary is only
+    observable at a sync point, but each sync costs a host<->device round
+    trip (~25 ms through this dev platform's tunnel, ~10 us in
+    production) that the reference's cudaEvent timestamps never pay
+    (spgemm.cu:730-755).  The harness records phase detail on the FIRST
+    timed repeat only and lets the remaining repeats run with just the
+    pipeline's own mandatory size-feedback syncs, so the wall-time
+    headline is not inflated by instrumentation.
+    """
 
     def __init__(self):
         self.totals = defaultdict(float)
         self.counts = defaultdict(int)
         self.per_iter = defaultdict(list)
+        self.detail = True
 
     @contextlib.contextmanager
     def phase(self, name: str, sync=None):
-        """Time a block; if `sync` is given, block on it before stopping."""
+        """Time a block; if `sync` is given, block on it before stopping.
+
+        With detail off, the block runs unsynced and unrecorded (its cost
+        lands in the caller's wall time only)."""
+        if not self.detail:
+            yield {}
+            return
         t0 = time.perf_counter()
         box = {}
         try:
