@@ -88,24 +88,35 @@ def _kernel(a_ref, b_hbm, c_ref, cnt_ref, b_win, sem, *, l, win, c0a,
     cp.start()
     cp.wait()
     c_ref[:] = jnp.zeros_like(c_ref)
-    cnt_ref[:] = jnp.zeros_like(cnt_ref)
-    b_mask = (b_win[:] != 0).astype(jnp.float32)
+    values_only = cnt_ref is None
+    if not values_only:
+        cnt_ref[:] = jnp.zeros_like(cnt_ref)
+        b_mask = (b_win[:] != 0).astype(jnp.float32)
     for k1 in range(len(offs_rel)):
         s1 = offs_rel[k1]
         base = row_bases[k1]
         sl = b_win[:, s1:s1 + l]
-        slm = b_mask[:, s1:s1 + l]
         a_row = a_ref[k1, :][None, :]
-        am = (a_row != 0).astype(jnp.float32)
         c_ref[base:base + d2, :] += a_row * sl
-        cnt_ref[base:base + d2, :] += am * slm
+        if not values_only:
+            slm = b_mask[:, s1:s1 + l]
+            am = (a_row != 0).astype(jnp.float32)
+            cnt_ref[base:base + d2, :] += am * slm
+
+
+def _kernel_values(a_ref, b_hbm, c_ref, b_win, sem, **kw):
+    _kernel(a_ref, b_hbm, c_ref, None, b_win, sem, **kw)
 
 
 @functools.partial(jax.jit, static_argnames=("offs_a", "dc_list", "n_out",
-                                             "interpret"))
+                                             "values_only", "interpret"))
 def dia_multiply_pallas(a_bands, b_bands, *, offs_a, dc_list, n_out,
-                        interpret=False):
-    """(c_bands, c_counts) over the DENSE dc range dc_list."""
+                        values_only=False, interpret=False):
+    """(c_bands, c_counts) over the DENSE dc range dc_list.
+
+    values_only=True runs the half-work kernel (no mask algebra, no
+    count output) and returns (c_bands, None) — used by DiaPlan replays
+    after the structural counts are cached."""
     d1, n_i = a_bands.shape
     d2_real, n_k = b_bands.shape
     # Mosaic requires the window DMA's sublane extent to be a multiple of
@@ -147,9 +158,11 @@ def dia_multiply_pallas(a_bands, b_bands, *, offs_a, dc_list, n_out,
     offs_rel = tuple(int(rem + d - min_d1) for d in offs_a)
     row_bases = tuple(int(d - min_d1) for d in offs_a)
 
-    kernel = functools.partial(_kernel, l=l, win=win, c0a=c0a,
-                               offs_rel=offs_rel, row_bases=row_bases,
-                               d2=d2)
+    kw = dict(l=l, win=win, c0a=c0a, offs_rel=offs_rel,
+              row_bases=row_bases, d2=d2)
+    n_outs = 1 if values_only else 2
+    kernel = functools.partial(
+        _kernel_values if values_only else _kernel, **kw)
     out = pl.pallas_call(
         kernel,
         grid=(g,),
@@ -158,16 +171,13 @@ def dia_multiply_pallas(a_bands, b_bands, *, offs_a, dc_list, n_out,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=(
+        out_specs=tuple(
             pl.BlockSpec((dc_pad, l), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((dc_pad, l), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((dc_pad, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((dc_pad, n_pad), jnp.float32),
-        ),
+                         memory_space=pltpu.VMEM)
+            for _ in range(n_outs)),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((dc_pad, n_pad), jnp.float32)
+            for _ in range(n_outs)),
         scratch_shapes=[
             pltpu.VMEM((d2, win), jnp.float32),
             pltpu.SemaphoreType.DMA,
@@ -176,4 +186,6 @@ def dia_multiply_pallas(a_bands, b_bands, *, offs_a, dc_list, n_out,
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )(ap, bp)
+    if values_only:
+        return out[0][:dc_dense, :n_out], None
     return out[0][:dc_dense, :n_out], out[1][:dc_dense, :n_out]

@@ -66,9 +66,15 @@ def main():
         cnt_err = float(jnp.max(jnp.abs(got_cnt - want_cnt)))
         rel = c_err / max(denom, 1e-30)
         ok = rel < 1e-6 and cnt_err == 0.0
+        # values-only replay kernel (DiaPlan count-cache path)
+        got_vo, none = dia_multiply_pallas(
+            aj, bj, offs_a=offs_a, dc_list=dc_list, n_out=n,
+            values_only=True, interpret=(dev.platform == "cpu"))
+        vo_err = float(jnp.max(jnp.abs(got_vo - got_c)))
+        ok = ok and none is None and vo_err == 0.0
         print(f"[{name}] D1={len(offs_a)} D2={len(offs_b)} n={n} "
               f"rel_err={rel:.2e} cnt_err={cnt_err:.1f} "
-              f"{'ok' if ok else 'FAIL'}")
+              f"values_only_err={vo_err:.1e} {'ok' if ok else 'FAIL'}")
         failures += 0 if ok else 1
     sys.exit(1 if failures else 0)
 

@@ -282,3 +282,37 @@ def test_pallas_interpret_d2_not_multiple_of_8():
     np.testing.assert_allclose(np.asarray(cp), np.asarray(cx),
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(np_) > 0, np.asarray(nx) > 0)
+
+
+def test_fixed_plan_count_cache_second_run():
+    # DiaPlan caches the static structural counts after the first run;
+    # the second (values-only) run must return identical values, counts
+    # and nnz (ops/dia.DiaPlan.run).
+    coo = _banded_coo(400, (-3, 0, 2, 25), seed=17)
+    res, a, b, cfg = _check_product(coo)
+    plan = make_plan(res, cfg, a, b)
+    out1 = plan.run(a, b)
+    assert getattr(plan, "_cnt_cache", None) is not None
+    out2 = plan.run(a, b)
+    np.testing.assert_array_equal(np.asarray(out2[0]), np.asarray(out1[0]))
+    np.testing.assert_array_equal(np.asarray(out2[1]), np.asarray(out1[1]))
+    assert int(out2[2]) == int(out1[2]) == res.c_nnz
+
+
+def test_pallas_values_only_interpret():
+    from pem_spgemm_tpu.ops import pallas_dia as pd
+    from pem_spgemm_tpu.ops.dia import _plan_maps
+    coo = _banded_coo(500, tuple(range(-4, 5)), seed=18)
+    a = coo_to_dia(coo, dtype=np.float32)
+    dc_list, _ = _plan_maps(a.offsets, a.offsets)
+    c_full, cnt = pd.dia_multiply_pallas(a.bands, a.bands,
+                                         offs_a=a.offsets,
+                                         dc_list=dc_list, n_out=a.shape[0],
+                                         interpret=True)
+    c_vo, none = pd.dia_multiply_pallas(a.bands, a.bands,
+                                        offs_a=a.offsets, dc_list=dc_list,
+                                        n_out=a.shape[0], values_only=True,
+                                        interpret=True)
+    assert none is None
+    np.testing.assert_allclose(np.asarray(c_vo), np.asarray(c_full),
+                               rtol=1e-6, atol=1e-6)
