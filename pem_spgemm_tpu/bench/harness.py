@@ -238,18 +238,32 @@ def run_benchmark(coo: COOMatrix, name: str,
 
     # untimed warmup: compiles the probe reduction (and any remaining
     # plan variant) outside the timed region
-    force_sync(_probe(plan.run(a, b)))
+    warm_out = plan.run(a, b)
+    force_sync(_probe(warm_out))
+    # async dispatch allocates every queued generation's outputs up
+    # front; bound the in-flight generations so multi-GB dense-C plans
+    # cannot exhaust HBM mid-batch.  The bound adapts to the measured
+    # generation size: small-output plans (DIA band stacks, element
+    # streams) amortize the ~25 ms tunnel sync over more dispatches,
+    # which is what the reference's device-event timing sees.
+    gen_bytes = sum(x.size * x.dtype.itemsize
+                    for x in jax.tree_util.tree_leaves(warm_out)
+                    if hasattr(x, "size"))
+    # 6 GB budget of in-flight generations (v5e HBM is 16 GB; operands
+    # and plan constants take the rest).  gen_bytes overcounts plans
+    # whose outputs include plan-cached constants (DIA counts), so the
+    # effective footprint is below the budget.
+    inflight = max(1, min(16, int((6 << 30) // max(1, gen_bytes))))
+    reps = max(cfg.repeat, 8) if inflight >= 8 else cfg.repeat
+    warm_out = None
     last = None
     t0 = time.perf_counter()
-    for i in range(cfg.repeat):
+    for i in range(reps):
         last = _probe(plan.run(a, b))
-        # async dispatch allocates every queued generation's outputs up
-        # front; bound the in-flight generations so multi-GB dense-C
-        # plans cannot exhaust HBM mid-batch
-        if (i + 1) % 4 == 0:
+        if (i + 1) % inflight == 0:
             force_sync(last)
     force_sync(last)
-    pipelined = (time.perf_counter() - t0) / cfg.repeat
+    pipelined = (time.perf_counter() - t0) / reps
     last = None
     if result.engine == "macro":
         # Macro fixed plans return the full tuple (c_tile_row, c_tile_col,
