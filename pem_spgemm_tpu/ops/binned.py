@@ -255,6 +255,8 @@ def build_plan(a, b, w: int | None = None, max_chunks: int = MAX_CHUNKS,
     set_row_nnz/set_min_bin, spgemm.cu:1144-1151).
     """
     gran = row_cap_gran or quarter_pow2
+    if w is None:
+        w = pick_w(a, b)
     cb = chunk_b(b, w)
     w = cb.w
     a_rowptr, a_rows_s, a_cols_s, a_vals_s = a.element_csr()
@@ -574,6 +576,41 @@ def _split_dup_free(buckets, table, w, gran):
     return out
 
 
+@jax.jit
+def _weighted_row_len(a_cols, b_rowptr):
+    """Product-weighted mean B row length: sum(len_e^2)/sum(len_e) over
+    A's elements — the statistic that matters for chunk sizing.
+
+    B's UNWEIGHTED mean row length (what chunk_b falls back to) is the
+    wrong statistic on skewed inputs: for powerlaw/rmat A^2 most
+    PRODUCTS come from hub B rows hundreds long, so w sized by the
+    unweighted mean (~2-8) shreds each hub fetch into dozens of 64-byte
+    chunk gathers — and the take is DMA-issue-bound at ~11ns per row
+    (measured round 3: the takes, not the sorts, dominate the powerlaw
+    multiply).  f32 sums: a 2% error moves w by nothing."""
+    lens = (b_rowptr[1:] - b_rowptr[:-1]).astype(jnp.float32)
+    le = lens[a_cols]
+    return jnp.stack([jnp.sum(le * le), jnp.sum(le)])
+
+
+def pick_w(a, b, w_max: int = 64) -> int:
+    """Chunk width from the product-weighted mean row length (one tiny
+    D2H, cached on the operand — a pure function of frozen structure).
+    Power-of-two in [8, w_max]; w_max=64 keeps a chunk-table row
+    (2w i32 = 512B) within the measured fast row-gather regime."""
+    cache = getattr(a, "_pick_w_cache", None)
+    if cache is not None and cache[0] == id(b):
+        return cache[1]
+    a_rowptr, _r, a_cols, _v = a.element_csr()
+    b_rowptr = b.element_csr()[0]
+    s2, s1 = np.asarray(_weighted_row_len(a_cols, b_rowptr))
+    wm = float(s2) / max(float(s1), 1.0)
+    w = 1 << int(np.clip(round(np.log2(max(wm, 1.0))), 3,
+                         int(np.log2(w_max))))
+    object.__setattr__(a, "_pick_w_cache", (id(b), w))
+    return w
+
+
 def build_plan_device(a, b, w: int | None = None,
                       max_chunks: int = MAX_CHUNKS,
                       row_cap_gran=None) -> BinnedPlan:
@@ -590,6 +627,8 @@ def build_plan_device(a, b, w: int | None = None,
     per-iteration semantics as the reference; only the O(products)
     layout scatters are amortized."""
     gran = row_cap_gran or quarter_pow2
+    if w is None:
+        w = pick_w(a, b)
     cb = chunk_b(b, w)
     w = cb.w
     a_rowptr, _ar, a_cols, a_vals = a.element_csr()

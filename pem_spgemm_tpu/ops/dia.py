@@ -227,7 +227,7 @@ class DiaPlan:
     dc_list: tuple
     idx_map: tuple
     n_out: int
-    use_pallas: bool = False
+    pallas_mode: object = None      # None | 'dense' | 'pairs'
 
     def grown(self):
         return self
@@ -241,11 +241,12 @@ class DiaPlan:
         """(c_bands, c_counts, c_nnz_dev, overflow)."""
         cached = getattr(self, "_cnt_cache", None)
         if cached is not None:
-            if self.use_pallas:
+            if self.pallas_mode:
                 from pem_spgemm_tpu.ops.pallas_dia import \
                     dia_multiply_pallas
                 c, _ = dia_multiply_pallas(
                     a.bands, b.bands, offs_a=self.offs_a,
+                    offs_b=self.offs_b, mode=self.pallas_mode,
                     dc_list=self.dc_list, n_out=self.n_out,
                     values_only=True)
             else:
@@ -254,10 +255,11 @@ class DiaPlan:
                     idx_map=self.idx_map, dc_count=len(self.dc_list),
                     n_out=self.n_out, values_only=True)
             return c, cached[0], cached[1], jnp.zeros((), jnp.bool_)
-        if self.use_pallas:
+        if self.pallas_mode:
             from pem_spgemm_tpu.ops.pallas_dia import dia_multiply_pallas
             c, cnt = dia_multiply_pallas(
                 a.bands, b.bands, offs_a=self.offs_a,
+                offs_b=self.offs_b, mode=self.pallas_mode,
                 dc_list=self.dc_list, n_out=self.n_out)
         else:
             c, cnt = _dia_multiply_xla(
@@ -280,13 +282,13 @@ def make_dia_plan(a: DiaMatrix, b: DiaMatrix, config=None) -> DiaPlan:
     computation, microseconds)."""
     dc_list, idx_map = _plan_maps(a.offsets, b.offsets)
     n_out = a.shape[0]
-    use_pallas = False
+    mode = None
     if config is not None and config.use_pallas:
-        from pem_spgemm_tpu.ops.pallas_dia import pallas_dia_applicable
-        use_pallas = pallas_dia_applicable(a.offsets, b.offsets, dc_list,
-                                           n_out, config)
+        from pem_spgemm_tpu.ops.pallas_dia import pallas_dia_mode
+        mode = pallas_dia_mode(a.offsets, b.offsets, dc_list, n_out,
+                               config)
     return DiaPlan(offs_a=a.offsets, offs_b=b.offsets, dc_list=dc_list,
-                   idx_map=idx_map, n_out=n_out, use_pallas=use_pallas)
+                   idx_map=idx_map, n_out=n_out, pallas_mode=mode)
 
 
 # --------------------------------------------------------------------------

@@ -35,6 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 MAX_D1 = 256            # unroll bound (statements ~ 8 * D1)
 MAX_DC_DENSE = 1024     # dense C offset rows cap
+MAX_PAIRS = 512         # pairwise-kernel unroll bound (one row FMA each)
 VMEM_BUDGET = 72 << 20  # bytes for the per-block working set
 
 
@@ -56,25 +57,53 @@ def _choose_block(d1, d2, dc, span) -> int:
     return int(l)
 
 
-def pallas_dia_applicable(offs_a, offs_b, dc_list, n_out, config) -> bool:
-    """Static qualification for the Pallas path."""
+def _choose_block_pairs(d1, d2, dc_pad, span, *, n_pairs,
+                        with_cnt) -> int:
+    """Block length for the pairwise kernel.
+
+    Unroll cost is one (1, L) slice FMA per pair (x2 with counts):
+    bound n_pairs * L the way the dense kernel bounds D1 * L."""
+    per_col = 4 * (d1 + 2 * d2 + (2 if with_cnt else 1) * dc_pad)
+    l = VMEM_BUDGET // per_col
+    l = min(l, (1 << 19) // max(1, n_pairs))
+    l = max(512, min(1 << 13, (l // 512) * 512))
+    return int(l)
+
+
+def pallas_dia_mode(offs_a, offs_b, dc_list, n_out, config):
+    """Static qualification: None | 'dense' | 'pairs'.
+
+    'dense' is the stencil kernel (contiguous (D2, L) block adds; needs
+    dense B and C offset ranges).  'pairs' is the generalized kernel for
+    ARBITRARY band sets (pairbands-class gapped diagonals): one unrolled
+    (1, L) row FMA per (d1, d2) product into the sparse dc row it maps
+    to.  Same VMEM-window staging, no density precondition."""
     if jax.devices()[0].platform == "cpu":
-        return False
-    if not offs_b or not offs_a or len(offs_a) > MAX_D1:
-        return False
-    if max(offs_b) - min(offs_b) + 1 != len(offs_b):
-        return False                       # B offsets must be dense
+        return None
+    if not offs_b or not offs_a:
+        return None
+    d1, d2 = len(offs_a), len(offs_b)
+    dense_b = max(offs_b) - min(offs_b) + 1 == d2
     dc_dense = (max(offs_a) + max(offs_b)) - (min(offs_a) + min(offs_b)) + 1
-    if len(dc_list) != dc_dense:
-        return False                       # C offsets must be dense too:
-        # the kernel maps product (d1, d2) to row (d1+d2) - dc_list[0] in
-        # a DENSE row space; a gapped offs_a (spacing > len(offs_b))
-        # would misindex rows against the plan's sparse dc_list
-    if dc_dense > MAX_DC_DENSE:
-        return False
-    # worth it only when the XLA path's product traffic dominates:
-    # products ~ D1 * D2 * n vs C size dc * n
-    return len(offs_a) * len(offs_b) >= 4 * dc_dense
+    # the dense kernel maps product (d1, d2) to row (d1+d2) - dc_list[0]
+    # in a DENSE row space; a gapped offs_a (spacing > len(offs_b)) would
+    # misindex rows against the plan's sparse dc_list
+    if (d1 <= MAX_D1 and dense_b and len(dc_list) == dc_dense
+            and dc_dense <= MAX_DC_DENSE
+            and d1 * d2 >= 4 * dc_dense):
+        return "dense"
+    # pairwise kernel: wins when the XLA path's per-product HBM traffic
+    # dominates the window kernel's once-through operand+C traffic
+    if (d1 * d2 <= MAX_PAIRS and len(dc_list) <= MAX_DC_DENSE
+            and n_out >= 4096 and d1 * d2 >= 2 * len(dc_list)):
+        return "pairs"
+    return None
+
+
+def pallas_dia_applicable(offs_a, offs_b, dc_list, n_out, config) -> bool:
+    """True iff the DENSE stencil kernel qualifies (back-compat shim)."""
+    return pallas_dia_mode(offs_a, offs_b, dc_list, n_out,
+                           config) == "dense"
 
 
 def _kernel(a_ref, b_hbm, c_ref, cnt_ref, b_win, sem, *, l, win, c0a,
@@ -108,15 +137,50 @@ def _kernel_values(a_ref, b_hbm, c_ref, b_win, sem, **kw):
     _kernel(a_ref, b_hbm, c_ref, None, b_win, sem, **kw)
 
 
-@functools.partial(jax.jit, static_argnames=("offs_a", "dc_list", "n_out",
-                                             "values_only", "interpret"))
-def dia_multiply_pallas(a_bands, b_bands, *, offs_a, dc_list, n_out,
-                        values_only=False, interpret=False):
-    """(c_bands, c_counts) over the DENSE dc range dc_list.
+def _kernel_pairs(a_ref, b_hbm, c_ref, cnt_ref, b_win, sem, *, l, win,
+                  c0a, pair_specs):
+    """Arbitrary-band-set variant: one static (1, L) row FMA per product.
 
-    values_only=True runs the half-work kernel (no mask algebra, no
-    count output) and returns (c_bands, None) — used by DiaPlan replays
-    after the structural counts are cached."""
+    pair_specs = ((k1, k2, s1, c_row), ...) — every index compile-time
+    static, so each product is a static in-window lane slice multiplied
+    into a static C row (write-once exclusive ownership per block, as
+    the reference's step 3, spgemm.cu:593-661)."""
+    g = pl.program_id(0)
+    cp = pltpu.make_async_copy(
+        b_hbm.at[:, pl.ds(g * l + c0a, win)], b_win, sem)
+    cp.start()
+    cp.wait()
+    c_ref[:] = jnp.zeros_like(c_ref)
+    values_only = cnt_ref is None
+    if not values_only:
+        cnt_ref[:] = jnp.zeros_like(cnt_ref)
+        b_mask = (b_win[:] != 0).astype(jnp.float32)
+    for k1, k2, s1, row in pair_specs:
+        a_row = a_ref[k1, :]
+        c_ref[row, :] += a_row * b_win[k2, s1:s1 + l]
+        if not values_only:
+            am = (a_row != 0).astype(jnp.float32)
+            cnt_ref[row, :] += am * b_mask[k2, s1:s1 + l]
+
+
+def _kernel_pairs_values(a_ref, b_hbm, c_ref, b_win, sem, **kw):
+    _kernel_pairs(a_ref, b_hbm, c_ref, None, b_win, sem, **kw)
+
+
+@functools.partial(jax.jit, static_argnames=("offs_a", "offs_b", "dc_list",
+                                             "n_out", "values_only", "mode",
+                                             "interpret"))
+def dia_multiply_pallas(a_bands, b_bands, *, offs_a, dc_list, n_out,
+                        offs_b=None, mode="dense", values_only=False,
+                        interpret=False):
+    """(c_bands, c_counts) over the C offset rows dc_list.
+
+    mode='dense' is the stencil kernel (dc_list must be the dense sum
+    range); mode='pairs' handles ARBITRARY band sets (requires offs_b)
+    with one unrolled row FMA per (d1, d2) product.  values_only=True
+    runs the half-work kernel (no mask algebra, no count output) and
+    returns (c_bands, None) — used by DiaPlan replays after the
+    structural counts are cached."""
     d1, n_i = a_bands.shape
     d2_real, n_k = b_bands.shape
     # Mosaic requires the window DMA's sublane extent to be a multiple of
@@ -128,8 +192,14 @@ def dia_multiply_pallas(a_bands, b_bands, *, offs_a, dc_list, n_out,
     min_d1, max_d1 = min(offs_a), max(offs_a)
     span = max_d1 - min_d1
     dc_dense = len(dc_list)
-    dc_pad = dc_dense + (d2 - d2_real)
-    l = _choose_block(d1, d2, dc_pad, span)
+    if mode == "pairs":
+        dc_pad = -(-dc_dense // 8) * 8
+        l = _choose_block_pairs(d1, d2, dc_pad, span,
+                                n_pairs=d1 * d2_real,
+                                with_cnt=not values_only)
+    else:
+        dc_pad = dc_dense + (d2 - d2_real)
+        l = _choose_block(d1, d2, dc_pad, span)
     g = -(-n_out // l)
     n_pad = g * l
 
@@ -149,20 +219,33 @@ def dia_multiply_pallas(a_bands, b_bands, *, offs_a, dc_list, n_out,
     bp = jnp.pad(b_bands.astype(jnp.float32),
                  ((0, 0), (pad_l, max(0, width_b - pad_l - n_k))))
 
-    # per-A-band static layout: in-window slice start and C row base.
-    # dc_list is the dense sum range, dc_list[0] = min_d1 + min(offs_b),
-    # so the row of product (d1, d2) is (d1 + d2) - dc_list[0] and the
-    # D2 rows of one d1 are contiguous starting at d1 - min_d1.
-    assert dc_list[0] == min_d1 + (dc_list[-1] - max_d1 - (d2_real - 1)), \
-        "dc_list must be the dense sum range"
-    offs_rel = tuple(int(rem + d - min_d1) for d in offs_a)
-    row_bases = tuple(int(d - min_d1) for d in offs_a)
-
-    kw = dict(l=l, win=win, c0a=c0a, offs_rel=offs_rel,
-              row_bases=row_bases, d2=d2)
+    if mode == "pairs":
+        # per-product static layout: (A row, B row, in-window lane start,
+        # sparse dc row index).  The window shift depends on d1 alone.
+        pos = {dc: i for i, dc in enumerate(dc_list)}
+        pair_specs = tuple(
+            (k1, k2, int(rem + da - min_d1), pos[da + db])
+            for k1, da in enumerate(offs_a)
+            for k2, db in enumerate(offs_b))
+        kw = dict(l=l, win=win, c0a=c0a, pair_specs=pair_specs)
+        kernel = functools.partial(
+            _kernel_pairs_values if values_only else _kernel_pairs, **kw)
+    else:
+        # per-A-band static layout: in-window slice start and C row base.
+        # dc_list is the dense sum range, dc_list[0] = min_d1 +
+        # min(offs_b), so the row of product (d1, d2) is (d1 + d2) -
+        # dc_list[0] and the D2 rows of one d1 are contiguous starting at
+        # d1 - min_d1.
+        assert dc_list[0] == min_d1 + (dc_list[-1] - max_d1
+                                       - (d2_real - 1)), \
+            "dc_list must be the dense sum range"
+        offs_rel = tuple(int(rem + d - min_d1) for d in offs_a)
+        row_bases = tuple(int(d - min_d1) for d in offs_a)
+        kw = dict(l=l, win=win, c0a=c0a, offs_rel=offs_rel,
+                  row_bases=row_bases, d2=d2)
+        kernel = functools.partial(
+            _kernel_values if values_only else _kernel, **kw)
     n_outs = 1 if values_only else 2
-    kernel = functools.partial(
-        _kernel_values if values_only else _kernel, **kw)
     out = pl.pallas_call(
         kernel,
         grid=(g,),
