@@ -40,19 +40,23 @@ ranges TileSpGEMM-class kernels report per regime (hypersparse graphs
 
 import json
 import math
+import os
+import signal
 import sys
 import time
 
 # (name, generator spec, engine, estimated reference GFlops on 3080M/fp64)
+#
+# ORDER = engine-coverage first: the harness runs under a wall budget
+# (PEM_BENCH_BUDGET_S) and emits whatever completed if time runs out, so
+# the first four rows exercise one matrix per engine tier (element, DIA,
+# DIA-pallas, macro run-class) before the remaining regimes widen the
+# suite.  Round 3's driver run was killed by `timeout` mid-suite with no
+# JSON emitted; the budget + the SIGTERM hook below make that impossible.
 SUITE = [
     ("powerlaw-1M", "power_law",
      dict(n=1_000_000, nnz=3_000_000, seed=42, hub_correlation=0.1),
      "element", 1.2),
-    ("rmat-16", "rmat", dict(scale=16, edge_factor=8, seed=7),
-     "element", 1.2),
-    ("uniform-1M", "uniform_random",
-     dict(n_rows=1_000_000, n_cols=1_000_000, nnz=4_000_000, seed=3),
-     "element", 1.0),
     # mid-fill regime (dense 16x16 tiles, sparse macro tiles).  Round 3:
     # auto dispatch runs the structural DIA census first (ops/dia.py) —
     # 10 distinct diagonals — and the multiply collapses to shifted
@@ -62,13 +66,8 @@ SUITE = [
      dict(n=500_000, seed=9,
           bands=(0, 1, 600, 601, -600, -601, 1200, 1201, -1200, -1201)),
      "auto", 4.0),
-    ("banded16-1M", "banded_device",
-     dict(n=1_000_000, seed=1, bands=tuple(range(-8, 8))), "auto", 4.0),
     ("banded64-1M", "banded_device",
      dict(n=1_000_000, seed=1, bands=tuple(range(-32, 32))), "auto", 7.0),
-    # wide-stencil / FEM-block-dense regime (consph/pdb1HYS-class rows)
-    ("banded128-1M", "banded_device",
-     dict(n=1_000_000, seed=1, bands=tuple(range(-64, 64))), "auto", 10.0),
     # irregular-macro regime: banded64's local structure but a wandering
     # band center — the diagonal census (>500 distinct diagonals) rejects
     # the DIA tier and the aperiodic pair stream defeats the stencil
@@ -78,6 +77,16 @@ SUITE = [
     # 999936 = 7812 * 128, the closest to 1M
     ("wandering64-1M", "wandering_device",
      dict(n=999_936, seed=4), "macro", 7.0),
+    ("rmat-16", "rmat", dict(scale=16, edge_factor=8, seed=7),
+     "element", 1.2),
+    ("uniform-1M", "uniform_random",
+     dict(n_rows=1_000_000, n_cols=1_000_000, nnz=4_000_000, seed=3),
+     "element", 1.0),
+    ("banded16-1M", "banded_device",
+     dict(n=1_000_000, seed=1, bands=tuple(range(-8, 8))), "auto", 4.0),
+    # wide-stencil / FEM-block-dense regime (consph/pdb1HYS-class rows)
+    ("banded128-1M", "banded_device",
+     dict(n=1_000_000, seed=1, bands=tuple(range(-64, 64))), "auto", 10.0),
 ]
 
 
@@ -85,12 +94,65 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def geo(xs):
+    return math.exp(sum(math.log(max(x, 1e-6)) for x in xs) / len(xs))
+
+
+class Collector:
+    """Accumulates per-matrix results and can emit the summary JSON at any
+    moment — from normal completion, a wall-budget stop, or a SIGTERM
+    (the driver's `timeout`), so a JSON line is ALWAYS produced."""
+
+    def __init__(self, n_total):
+        self.gfs, self.steadies, self.pipelineds, self.refs = [], [], [], []
+        self.n_total = n_total
+        self.emitted = False
+
+    def add(self, record, ref_est):
+        self.gfs.append(record.gflops)
+        self.steadies.append(record.steady_gflops)
+        self.pipelineds.append(record.pipelined_gflops)
+        self.refs.append(ref_est)
+
+    def emit(self):
+        if self.emitted:
+            return
+        self.emitted = True
+        if not self.gfs:
+            out = {"metric": "spgemm_gflops_geomean_suite", "value": 0.0,
+                   "unit": "GFlops", "vs_baseline": 0.0}
+        else:
+            geomean = geo(self.gfs)
+            ref_geo = geo(self.refs)
+            out = {
+                "metric": "spgemm_gflops_geomean_suite",
+                "value": round(geomean, 4),
+                "unit": "GFlops",
+                "vs_baseline": round(geomean / ref_geo, 4),
+                "steady_gflops_geomean": round(geo(self.steadies), 4),
+                "steady_vs_baseline": round(geo(self.steadies) / ref_geo, 4),
+                "pipelined_gflops_geomean": round(geo(self.pipelineds), 4),
+                "pipelined_vs_baseline":
+                    round(geo(self.pipelineds) / ref_geo, 4),
+                "n_matrices": len(self.gfs),
+            }
+            if len(self.gfs) < self.n_total:
+                out["partial"] = True
+        print(json.dumps(out), flush=True)
+
+
 def main():
     import jax
     try:
         jax.config.update("jax_compilation_cache_dir",
                           "/root/repo/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # persist EVERY compile: this platform's compiles go through a
+        # remote compile service whose per-op roundtrip is seconds even
+        # for a trivial eager reshape — the default 1.0s threshold left
+        # dozens of tiny plan-phase compiles uncached, costing minutes
+        # per matrix on every run (measured round 4)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass
     log("devices:", jax.devices())
@@ -99,9 +161,26 @@ def main():
     from pem_spgemm_tpu.bench.harness import run_benchmark
     from pem_spgemm_tpu.models import synthetic
 
-    gfs, steadies, pipelineds, refs = [], [], [], []
+    col = Collector(len(SUITE))
+    t_start = time.time()
+    budget = float(os.environ.get("PEM_BENCH_BUDGET_S", "1500"))
+
+    def _on_term(signum, frame):
+        log(f"[bench] signal {signum}: emitting partial summary")
+        col.emit()
+        sys.stdout.flush()
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+
     coo = record = result = None
     for name, family, kw, engine, ref_est in SUITE:
+        elapsed = time.time() - t_start
+        if elapsed > budget:
+            log(f"[bench] wall budget exhausted ({elapsed:.0f}s > "
+                f"{budget:.0f}s); skipping remaining matrices from {name}")
+            break
         # release the previous entry's device buffers (results hold
         # multi-GB streams / dense C tiles) before generating the next
         coo = record = result = None
@@ -126,34 +205,11 @@ def main():
             f"{record.steady_state_time:.1f}ms "
             f"({record.steady_gflops:.2f} GF) | pipelined="
             f"{record.pipelined_time:.1f}ms "
-            f"({record.pipelined_gflops:.2f} GF) (ref est {ref_est})")
-        gfs.append(record.gflops)
-        steadies.append(record.steady_gflops)
-        pipelineds.append(record.pipelined_gflops)
-        refs.append(ref_est)
+            f"({record.pipelined_gflops:.2f} GF) (ref est {ref_est}) "
+            f"[t+{time.time() - t_start:.0f}s]")
+        col.add(record, ref_est)
 
-    if not gfs:
-        print(json.dumps({"metric": "spgemm_gflops_geomean_suite",
-                          "value": 0.0, "unit": "GFlops",
-                          "vs_baseline": 0.0}))
-        return
-
-    def geo(xs):
-        return math.exp(sum(math.log(max(x, 1e-6)) for x in xs) / len(xs))
-
-    geomean = geo(gfs)
-    ref_geo = geo(refs)
-    print(json.dumps({
-        "metric": "spgemm_gflops_geomean_suite",
-        "value": round(geomean, 4),
-        "unit": "GFlops",
-        "vs_baseline": round(geomean / ref_geo, 4),
-        "steady_gflops_geomean": round(geo(steadies), 4),
-        "steady_vs_baseline": round(geo(steadies) / ref_geo, 4),
-        "pipelined_gflops_geomean": round(geo(pipelineds), 4),
-        "pipelined_vs_baseline": round(geo(pipelineds) / ref_geo, 4),
-        "n_matrices": len(gfs),
-    }))
+    col.emit()
 
 
 if __name__ == "__main__":

@@ -131,22 +131,22 @@ def banded_device(n: int, bands=(0, 1, -1, 16, -16), seed: int = 0
     import jax
     import jax.numpy as jnp
     bs = sorted(set(int(b) for b in bands))
+    nb = len(bs)
 
+    # One broadcast (nb, n) grid instead of a per-band unrolled loop: the
+    # loop version's XLA program (and compile time) scaled with the band
+    # count — 128 bands took minutes to compile, which blew the driver's
+    # bench budget in round 3.  This compiles in seconds at any width.
     @jax.jit
     def gen():
-        rows_l, cols_l, vals_l = [], [], []
         r = jnp.arange(n, dtype=jnp.int32)
-        key = jax.random.PRNGKey(seed)
-        for b in bs:
-            key, sub = jax.random.split(key)
-            c = r + b
-            ok = (c >= 0) & (c < n)
-            v = jax.random.normal(sub, (n,), jnp.float32)
-            rows_l.append(jnp.where(ok, r, -1))
-            cols_l.append(jnp.clip(c, 0, n - 1))
-            vals_l.append(v)
-        return (jnp.concatenate(rows_l), jnp.concatenate(cols_l),
-                jnp.concatenate(vals_l))
+        bs_dev = jnp.asarray(bs, jnp.int32)
+        c = bs_dev[:, None] + r[None, :]               # (nb, n) band-major
+        ok = (c >= 0) & (c < n)
+        rows2 = jnp.where(ok, r[None, :], -1)
+        vals2 = jax.random.normal(jax.random.PRNGKey(seed), (nb, n),
+                                  jnp.float32)
+        return (rows2.ravel(), jnp.clip(c, 0, n - 1).ravel(), vals2.ravel())
 
     rows, cols, vals = gen()
     # drop border entries (rows == -1) with one host-size compaction:
@@ -198,19 +198,18 @@ def wandering_device(n: int, width: int = 64, block: int = 128,
         m[g] = cur
     m_dev = jnp.asarray(m, jnp.int32)
 
+    # One broadcast (width, n) grid — see banded_device for why the
+    # per-offset unrolled-loop formulation was replaced.
     @jax.jit
     def gen():
         r = jnp.arange(n, dtype=jnp.int32)
         center = r + jnp.int32(block) * m_dev[r // block]
-        key = jax.random.PRNGKey(seed)
-        rows_l, cols_l, vals_l = [], [], []
-        for k in range(-w2, width - w2):
-            key, sub = jax.random.split(key)
-            rows_l.append(r)
-            cols_l.append(center + k)
-            vals_l.append(jax.random.normal(sub, (n,), jnp.float32))
-        return (jnp.concatenate(rows_l), jnp.concatenate(cols_l),
-                jnp.concatenate(vals_l))
+        ks = jnp.arange(-w2, width - w2, dtype=jnp.int32)
+        cols2 = ks[:, None] + center[None, :]          # (width, n) k-major
+        rows2 = jnp.broadcast_to(r[None, :], cols2.shape)
+        vals2 = jax.random.normal(jax.random.PRNGKey(seed), (width, n),
+                                  jnp.float32)
+        return (rows2.ravel(), cols2.ravel(), vals2.ravel())
 
     rows, cols, vals = gen()
     return COOMatrix(rows, cols, vals, (n, n))

@@ -43,6 +43,7 @@ routes through the merge-sort engine instead (ops/element.py).
 from __future__ import annotations
 
 import dataclasses
+import weakref
 from functools import partial
 from typing import Optional
 
@@ -598,8 +599,10 @@ def pick_w(a, b, w_max: int = 64) -> int:
     D2H, cached on the operand — a pure function of frozen structure).
     Power-of-two in [8, w_max]; w_max=64 keeps a chunk-table row
     (2w i32 = 512B) within the measured fast row-gather regime."""
+    # keyed by a live weakref to b, not id(b): a dead id can be reused by
+    # a NEW matrix and silently inherit a stale w (ADVICE round 3, low)
     cache = getattr(a, "_pick_w_cache", None)
-    if cache is not None and cache[0] == id(b):
+    if cache is not None and cache[0]() is b:
         return cache[1]
     a_rowptr, _r, a_cols, _v = a.element_csr()
     b_rowptr = b.element_csr()[0]
@@ -607,7 +610,7 @@ def pick_w(a, b, w_max: int = 64) -> int:
     wm = float(s2) / max(float(s1), 1.0)
     w = 1 << int(np.clip(round(np.log2(max(wm, 1.0))), 3,
                          int(np.log2(w_max))))
-    object.__setattr__(a, "_pick_w_cache", (id(b), w))
+    object.__setattr__(a, "_pick_w_cache", (weakref.ref(b), w))
     return w
 
 
@@ -638,12 +641,14 @@ def build_plan_device(a, b, w: int | None = None,
     cls, ech, pref, row_chunks, stats = _plan_classify(
         a_rowptr, a_cols, cb.lens_dev, classes_dev, w, n_base)
 
-    cache_key = (id(b), w, max_chunks, row_cap_gran)
+    # weakref to b, not id(b): dead ids are reusable (ADVICE round 3)
+    cache_key = (w, max_chunks, row_cap_gran)
     cached = getattr(a, "_binned_plan_cache", None)
 
     stats_h = np.asarray(stats)                 # the one D2H
-    if cached is not None and cached[0] == cache_key:
-        return cached[1]
+    if (cached is not None and cached[0] == cache_key
+            and cached[1]() is b):
+        return cached[2]
     counts = stats_h[:2 * n_base + 2].astype(np.int64)
     total_chunks = int(stats_h[2 * n_base + 2])
     res_chunks = int(stats_h[2 * n_base + 3])
@@ -658,7 +663,8 @@ def build_plan_device(a, b, w: int | None = None,
                           res_rows=jnp.full((1,), SENTINEL, jnp.int32),
                           n_res_chunks=0, w=w, n_products=0,
                           table=cb.table)
-        object.__setattr__(a, "_binned_plan_cache", (cache_key, plan))
+        object.__setattr__(a, "_binned_plan_cache",
+                           (cache_key, weakref.ref(b), plan))
         return plan
 
     n_cls = 2 * n_base + 2
@@ -729,7 +735,8 @@ def build_plan_device(a, b, w: int | None = None,
         res_rows=res_rows, n_res_chunks=res_chunks,
         w=w, n_products=n_products, table=cb.table,
         win=win, wintab=cb.wintab)
-    object.__setattr__(a, "_binned_plan_cache", (cache_key, plan))
+    object.__setattr__(a, "_binned_plan_cache",
+                       (cache_key, weakref.ref(b), plan))
     return plan
 
 

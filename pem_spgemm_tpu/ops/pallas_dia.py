@@ -62,12 +62,40 @@ def _choose_block_pairs(d1, d2, dc_pad, span, *, n_pairs,
     """Block length for the pairwise kernel.
 
     Unroll cost is one (1, L) slice FMA per pair (x2 with counts):
-    bound n_pairs * L the way the dense kernel bounds D1 * L."""
-    per_col = 4 * (d1 + 2 * d2 + (2 if with_cnt else 1) * dc_pad)
-    l = VMEM_BUDGET // per_col
+    bound n_pairs * L the way the dense kernel bounds D1 * L.  The B
+    window scratch (and its mask temporary, with counts) is (d2, L+span+
+    alignment): its span-dependent fixed part comes off the budget BEFORE
+    dividing by the per-column cost — a gapped offs_a (large span) would
+    otherwise push the block past the Mosaic vmem limit (ADVICE round 3,
+    medium)."""
+    n_win = 2 if with_cnt else 1                      # b_win (+ b_mask)
+    fixed = 4 * n_win * d2 * (span + 256)             # span + align slack
+    per_col = 4 * (d1 + n_win * d2 + (2 if with_cnt else 1) * dc_pad)
+    l = max(0, VMEM_BUDGET - fixed) // per_col
     l = min(l, (1 << 19) // max(1, n_pairs))
     l = max(512, min(1 << 13, (l // 512) * 512))
     return int(l)
+
+
+def _pairs_vmem_ok(offs_a, offs_b, dc, *, with_cnt=True) -> bool:
+    """Can the pairwise kernel fit VMEM at its smallest block (L=512)?
+
+    Mirrors _choose_block_pairs's accounting; gates mode='pairs' so wide
+    A-offset spans fall back to the XLA path instead of crashing at
+    Mosaic compile time (ADVICE round 3, medium)."""
+    d1, d2 = len(offs_a), -(-len(offs_b) // 8) * 8
+    span = max(offs_a) - min(offs_a)
+    dc_pad = -(-dc // 8) * 8
+    n_win = 2 if with_cnt else 1
+    fixed = 4 * n_win * d2 * (span + 256)
+    per_col = 4 * (d1 + n_win * d2 + (2 if with_cnt else 1) * dc_pad)
+    return fixed + 512 * per_col <= VMEM_BUDGET
+
+
+def _platform_ok() -> bool:
+    """Mosaic TPU kernels only; factored out so tests can monkeypatch it
+    and exercise the mode-selection logic on the CPU mesh (ADVICE r3)."""
+    return jax.devices()[0].platform != "cpu"
 
 
 def pallas_dia_mode(offs_a, offs_b, dc_list, n_out, config):
@@ -78,7 +106,7 @@ def pallas_dia_mode(offs_a, offs_b, dc_list, n_out, config):
     ARBITRARY band sets (pairbands-class gapped diagonals): one unrolled
     (1, L) row FMA per (d1, d2) product into the sparse dc row it maps
     to.  Same VMEM-window staging, no density precondition."""
-    if jax.devices()[0].platform == "cpu":
+    if not _platform_ok():
         return None
     if not offs_b or not offs_a:
         return None
@@ -93,9 +121,12 @@ def pallas_dia_mode(offs_a, offs_b, dc_list, n_out, config):
             and d1 * d2 >= 4 * dc_dense):
         return "dense"
     # pairwise kernel: wins when the XLA path's per-product HBM traffic
-    # dominates the window kernel's once-through operand+C traffic
+    # dominates the window kernel's once-through operand+C traffic.
+    # VMEM feasibility (window scratch scales with the A offset span)
+    # gates it so gapped-band sets degrade to XLA, never crash Mosaic.
     if (d1 * d2 <= MAX_PAIRS and len(dc_list) <= MAX_DC_DENSE
-            and n_out >= 4096 and d1 * d2 >= 2 * len(dc_list)):
+            and n_out >= 4096 and d1 * d2 >= 2 * len(dc_list)
+            and _pairs_vmem_ok(offs_a, offs_b, len(dc_list))):
         return "pairs"
     return None
 

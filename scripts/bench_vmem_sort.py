@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 from pem_spgemm_tpu.models.synthetic import by_name
 from pem_spgemm_tpu.ops.convert import coo_to_tiled

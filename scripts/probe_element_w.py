@@ -17,7 +17,7 @@ def main():
     ws = [int(x) for x in sys.argv[2:]] or [None, 16, 32, 64]
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     print("devices:", jax.devices())
 
     from pem_spgemm_tpu.models import synthetic

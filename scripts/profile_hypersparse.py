@@ -21,7 +21,7 @@ def main():
     import jax
     import jax.numpy as jnp
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     print("devices:", jax.devices())
 
     from pem_spgemm_tpu.models import synthetic

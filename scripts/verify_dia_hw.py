@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 from pem_spgemm_tpu.ops.dia import _dia_multiply_xla, _plan_maps
 from pem_spgemm_tpu.ops.pallas_dia import dia_multiply_pallas
