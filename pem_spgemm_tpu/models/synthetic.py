@@ -136,31 +136,35 @@ def banded_device(n: int, bands=(0, 1, -1, 16, -16), seed: int = 0
     # One broadcast (nb, n) grid instead of a per-band unrolled loop: the
     # loop version's XLA program (and compile time) scaled with the band
     # count — 128 bands took minutes to compile, which blew the driver's
-    # bench budget in round 3.  This compiles in seconds at any width.
+    # bench budget in round 3.  The border-drop compaction ALSO lives in
+    # the same jit (one gather): the earlier host-side per-band slicing
+    # issued ~3 eager ops per band, each a seconds-long roundtrip through
+    # this platform's remote compile service (~70 s for 64 bands).
+    # Border counts are static per band, so the compacted size is static:
+    # dst position j in band i maps to src i*n + (j - dst_start[i]) + lo_i.
+    lo = [max(0, -b) for b in bs]
+    hi = [min(n, n - b) for b in bs]
+    dst_starts = np.concatenate([[0], np.cumsum([h - l for l, h
+                                                 in zip(lo, hi)])])
+    total = int(dst_starts[-1])
+
     @jax.jit
     def gen():
         r = jnp.arange(n, dtype=jnp.int32)
         bs_dev = jnp.asarray(bs, jnp.int32)
         c = bs_dev[:, None] + r[None, :]               # (nb, n) band-major
-        ok = (c >= 0) & (c < n)
-        rows2 = jnp.where(ok, r[None, :], -1)
         vals2 = jax.random.normal(jax.random.PRNGKey(seed), (nb, n),
                                   jnp.float32)
-        return (rows2.ravel(), jnp.clip(c, 0, n - 1).ravel(), vals2.ravel())
+        j = jnp.arange(total, dtype=jnp.int32)
+        band = jnp.searchsorted(jnp.asarray(dst_starts[1:], jnp.int32), j,
+                                side="right").astype(jnp.int32)
+        src = (band * n + jnp.asarray(lo, jnp.int32)[band]
+               + (j - jnp.asarray(dst_starts[:-1], jnp.int32)[band]))
+        rows2 = jnp.broadcast_to(r[None, :], (nb, n)).ravel()
+        return (rows2[src], c.ravel()[src], vals2.ravel()[src])
 
     rows, cols, vals = gen()
-    # drop border entries (rows == -1) with one host-size compaction:
-    # counts are exact per band, so slice per band without a device scan
-    import numpy as np_
-    keep_r, keep_c, keep_v = [], [], []
-    for i, b in enumerate(bs):
-        lo, hi = (max(0, -b), min(n, n - b))
-        keep_r.append(rows[i * n + lo:i * n + hi])
-        keep_c.append(cols[i * n + lo:i * n + hi])
-        keep_v.append(vals[i * n + lo:i * n + hi])
-    import jax.numpy as jnp
-    return COOMatrix(jnp.concatenate(keep_r), jnp.concatenate(keep_c),
-                     jnp.concatenate(keep_v), (n, n))
+    return COOMatrix(rows, cols, vals, (n, n))
 
 
 def wandering_device(n: int, width: int = 64, block: int = 128,
