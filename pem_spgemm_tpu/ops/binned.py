@@ -1039,8 +1039,17 @@ def binned_multiply(plan: BinnedPlan, vmem_sort: bool = False,
     One fused dispatch for every bucket + the residual (see
     _binned_multiply_fused).  vmem_sort=True routes sort-path buckets
     through the VMEM-resident Pallas sort+dedup kernel (TPU;
-    interpret=True for CPU testing)."""
-    keys, vals, firsts, rowids, res, total = _binned_multiply_fused(
+    interpret=True for CPU testing).
+
+    interpret=True drops the OUTER jit and runs the traced body
+    eagerly, so each bucket's (already-jitted) kernel compiles as its
+    own program: XLA:CPU in jax 0.9.0 segfaults compiling the single
+    fused program when interpret-mode Pallas calls are inlined into it
+    (round 5; the fusion only exists to cut TPU dispatch latency, which
+    CPU tests don't need)."""
+    fused = (_binned_multiply_fused.__wrapped__ if interpret
+             else _binned_multiply_fused)
+    keys, vals, firsts, rowids, res, total = fused(
         plan.table,
         tuple(b.src for b in plan.buckets),
         tuple(b.avals for b in plan.buckets),
