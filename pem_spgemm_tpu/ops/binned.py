@@ -55,6 +55,20 @@ from jax import lax
 SENTINEL = jnp.int32(0x7FFFFFFF)
 W = 32                      # slots per chunk
 MAX_CHUNKS = 4096           # widest bucket (131072 slots); beyond -> residual
+# --- fine routed tables (round 5): short B rows get per-length-class
+# tables at narrow widths, cutting the dominant chunk-tail padding (the
+# round-4 powerlaw plan padded 45M products to 166M slots, 3.7x, mostly
+# w-64 tails on rows a few elements long).  Tables store [cols | vals]
+# as f32 so dense reference streams can be fetched as aligned 128-row
+# SLABS and distributed to product slots by an exact one-hot MXU einsum
+# (measured 2.2x the per-row gather fast path; bit-exact at
+# precision=HIGHEST since cols < 2^24 and the one-hot is exact).
+FINE_CLASSES = ((8, 8), (32, 32))   # (w, max B-row len) per class
+FSENT = float(1 << 24)      # fine-table sentinel column (f32-exact bound)
+ROUTE_K = 128               # slab height (table rows per einsum block)
+ROUTE_P = 128               # reference slots per einsum block
+ROUTE_MIN_FILL = 0.35       # refs/(G*P) below this -> flat per-row take
+ROUTE_MIN_REFS = 1 << 16    # tiny streams stay on the flat take
 WIN = 128                   # element-window width for the consec-singles
                             # path: 1D window gathers at arbitrary offsets
                             # are the measured fast path (~22ns/issue),
@@ -105,6 +119,41 @@ def _build_chunk_table(b_cols, b_vals, starts, ends, w):
     return jnp.concatenate([table, dummy], axis=0)
 
 
+@partial(jax.jit, static_argnames=("w",))
+def _build_fine_table(b_cols, b_vals, starts, ends, w):
+    """(NT_pad, 2w) f32 fine table: [cols as f32 | vals] per row-chunk.
+
+    One row per short B row (the row's whole element run fits one chunk:
+    len <= w by class construction).  Tail slots and padding rows carry
+    the FSENT column sentinel.  Cols are exact in f32 (callers gate on
+    n_cols < 2^24)."""
+    nt = starts.shape[0]
+    pad_c = jnp.concatenate([b_cols.astype(jnp.float32),
+                             jnp.full((w,), FSENT, jnp.float32)])
+    pad_v = jnp.concatenate([b_vals.astype(jnp.float32),
+                             jnp.zeros((w,), jnp.float32)])
+    dnums = lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,))
+    idx = starts[:, None]
+    cols_t = lax.gather(pad_c, idx, dnums, slice_sizes=(w,))
+    vals_t = lax.gather(pad_v, idx, dnums, slice_sizes=(w,))
+    within = starts[:, None] + jax.lax.broadcasted_iota(
+        jnp.int32, (nt, w), 1)
+    valid = within < ends[:, None]
+    cols_t = jnp.where(valid, cols_t, FSENT)
+    vals_t = jnp.where(valid, vals_t, 0.0)
+    return jnp.concatenate([cols_t, vals_t], axis=1)
+
+
+@dataclasses.dataclass(frozen=True)
+class FineTable:
+    """One fine length class (conversion product)."""
+
+    w: int                  # chunk width (== max row len of the class)
+    table: jax.Array        # (NT_pad, 2w) f32, NT_pad % ROUTE_K == 0
+    n_rows: int             # live table rows
+
+
 @dataclasses.dataclass(frozen=True)
 class ChunkedB:
     """B in chunk-table form (conversion product)."""
@@ -115,6 +164,12 @@ class ChunkedB:
     w: int
     cptr_dev: jax.Array = None   # device copies (for device-side planning)
     lens_dev: jax.Array = None
+    # fine routed tables: per FINE_CLASSES class, the f32 row-chunk table
+    # (None when n_cols >= 2^24, where f32 cols lose exactness)
+    fine: Optional[tuple] = None        # tuple[FineTable]
+    fcls_dev: jax.Array = None   # (n_rows+1,) i32 fine class or -1
+    fidx_dev: jax.Array = None   # (n_rows+1,) i32 row index in class table
+    rowof_dev: jax.Array = None  # (NC+1,) i32 owner B row per main chunk
     # element-window products (the consec-singles fast path): per-chunk
     # element start/end, and a 2D ALIGNED view of the raw element arrays
     # — row g holds elements [g*WIN, (g+1)*WIN) as [cols | value bits]
@@ -165,11 +220,46 @@ def chunk_b(b, w: int | None = None) -> ChunkedB:
     ends_dev = jnp.asarray(np.concatenate([ends, [nb]]), jnp.int32)
     wintab = _build_wintab(jnp.asarray(b_cols, jnp.int32),
                            jnp.asarray(b_vals))
+
+    # fine routed tables (dup-free short-row fast path).  Gated on the
+    # column space fitting f32 exactly.
+    n_rows = len(lens)
+    fine = None
+    fcls = np.full(n_rows + 1, -1, np.int32)
+    fidx = np.zeros(n_rows + 1, np.int32)
+    if b.shape[1] < (1 << 24):
+        fine = []
+        lo = 1
+        bc = jnp.asarray(b_cols, jnp.int32)
+        bv = jnp.asarray(b_vals)
+        for ci, (wc, maxlen) in enumerate(FINE_CLASSES):
+            sel = (lens >= lo) & (lens <= maxlen)
+            lo = maxlen + 1
+            rows_c = np.nonzero(sel)[0]
+            nt = len(rows_c)
+            fcls[rows_c] = ci
+            fidx[rows_c] = np.arange(nt, dtype=np.int32)
+            nt_pad = max(ROUTE_K, -(-nt // ROUTE_K) * ROUTE_K)
+            s_c = np.full(nt_pad, nb, np.int64)
+            e_c = np.full(nt_pad, nb, np.int64)
+            s_c[:nt] = rowptr[:-1][rows_c]
+            e_c[:nt] = rowptr[1:][rows_c]
+            fine.append(FineTable(
+                w=wc, n_rows=nt,
+                table=_build_fine_table(bc, bv,
+                                        jnp.asarray(s_c, jnp.int32),
+                                        jnp.asarray(e_c, jnp.int32), wc)))
+        fine = tuple(fine)
+    owner_pad = np.concatenate([owner, [n_rows]]).astype(np.int32)
+
     cache = ChunkedB(table=table, cptr=cptr, lens=lens, w=w,
                      cptr_dev=jnp.asarray(cptr, jnp.int32),
                      lens_dev=jnp.asarray(lens, jnp.int32),
                      starts_dev=starts_dev, ends_dev=ends_dev,
-                     wintab=wintab, nb=nb)
+                     wintab=wintab, nb=nb,
+                     fine=fine, fcls_dev=jnp.asarray(fcls),
+                     fidx_dev=jnp.asarray(fidx),
+                     rowof_dev=jnp.asarray(owner_pad))
     object.__setattr__(b, "_chunk_cache", cache)
     return cache
 
@@ -243,6 +333,11 @@ class BinnedPlan:
     # taken from the 2D aligned element-window table
     win: Optional[tuple] = None
     wintab: Optional[jax.Array] = None
+    # dissolved dup-free streams (device plan only, round 5): coarse
+    # chunk-flat remainder (src, avals, rows) and per-class fine routed
+    # streams (FineStream)
+    coarse: Optional[tuple] = None
+    fine: tuple = ()
 
     def run(self):
         """One overflow-free dispatch set: see binned_multiply."""
@@ -577,6 +672,309 @@ def _split_dup_free(buckets, table, w, gran):
     return out
 
 
+# --------------------------------------------------------------------------
+# Fine routed streams (plan side).  Dup-free rows need no segment
+# structure — their product stream can be chunk-flat in ANY order — so
+# single buckets dissolve into: per-class FINE references (one ref per
+# short-B-row ELEMENT, peeled at first-chunk granularity so a multi-chunk
+# main-table run collapses to one fine row), and a COARSE remainder
+# stream of main-table chunks.
+
+@jax.jit
+def _peel_classify(src, avals, rows, rowof_dev, cptr_dev, fcls_dev):
+    """Sort the dup-free chunk stream by destination class.
+
+    Key: fine class c for the FIRST main chunk of a fine-class element;
+    n_fine for coarse; n_fine+1 for dropped non-first fine chunks (their
+    element is covered by the class-table row) and dummies.  Returns the
+    sorted (src, avals, rows) streams + per-key counts (one D2H)."""
+    n_fine = len(FINE_CLASSES)
+    row = rowof_dev[src]
+    cls = fcls_dev[row]
+    isfirst = src == cptr_dev[row]
+    key = jnp.where(cls >= 0,
+                    jnp.where(isfirst, cls, n_fine + 1),
+                    n_fine)
+    key = jnp.where(rows == SENTINEL, n_fine + 1, key)
+    key_s, src_s, av_s, row_s = lax.sort(
+        (key, src, _f2i(avals), rows), num_keys=1)
+    counts = jnp.bincount(key, length=n_fine + 2)
+    return key_s, src_s, _i2f(av_s), row_s, counts
+
+
+@jax.jit
+def _fine_refs(src, rowof_dev, fidx_dev):
+    return fidx_dev[rowof_dev[src]]
+
+
+@partial(jax.jit, static_argnames=("k", "p"))
+def _route_stats(refs, avals, rows, k, p):
+    """Sort refs by table row; derive each ref's (block, slot) under the
+    slab grouping (aligned k-row slabs, <= p refs per block, overfull
+    slabs split).  Returns sorted streams + per-ref block/slot + G."""
+    refs_s, av_s, row_s = lax.sort((refs, _f2i(avals), rows), num_keys=1)
+    n = refs_s.shape[0]
+    slab = refs_s // k
+    idx = jnp.arange(n, dtype=jnp.int32)
+    first = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                             slab[1:] != slab[:-1]])
+    slab_start = lax.cummax(jnp.where(first, idx, -1))
+    rank = idx - slab_start
+    last = jnp.concatenate([slab[1:] != slab[:-1],
+                            jnp.ones((1,), jnp.bool_)])
+    # slab count at every ref: reversed cummax of last-position markers
+    slab_end = lax.cummin(jnp.where(last, idx, n)[::-1])[::-1]
+    cnt = slab_end - slab_start + 1
+    nblk = -(-cnt // p)
+    bl_incl = jnp.cumsum(jnp.where(first, nblk, 0), dtype=jnp.int32)
+    g_of_ref = bl_incl - nblk + rank // p
+    p_of_ref = rank % p
+    g_total = bl_incl[-1]
+    return (refs_s, _i2f(av_s), row_s, slab, g_of_ref, p_of_ref, g_total)
+
+
+@partial(jax.jit, static_argnames=("g", "p"))
+def _route_layout(refs_s, av_s, row_s, slab, g_of_ref, p_of_ref, g, p):
+    """Scatter the sorted ref stream into the (G,) block table and (G, P)
+    slot arrays (padding: loc 0, rows SENTINEL, avals 0)."""
+    k = ROUTE_K
+    block_ids = jnp.zeros((g,), jnp.int32).at[g_of_ref].set(
+        slab, mode="drop")
+    flat = g_of_ref * p + p_of_ref
+    loc = jnp.zeros((g * p,), jnp.int32).at[flat].set(
+        refs_s % k, mode="drop").reshape(g, p)
+    avals = jnp.zeros((g * p,), jnp.float32).at[flat].set(
+        av_s, mode="drop").reshape(g, p)
+    rows = jnp.full((g * p,), SENTINEL, jnp.int32).at[flat].set(
+        row_s, mode="drop").reshape(g, p)
+    return block_ids, loc, avals, rows
+
+
+@dataclasses.dataclass(frozen=True)
+class FineStream:
+    """One fine class's executable reference stream."""
+
+    mode: str               # "einsum" | "flat"
+    w: int
+    table: jax.Array        # (NT_pad, 2w) f32
+    # flat mode
+    refs: jax.Array = None      # (R,) i32
+    # einsum mode
+    block_ids: jax.Array = None  # (G,) i32 slab ids
+    loc: jax.Array = None        # (G, P) i32 row-in-slab
+    avals: jax.Array = None      # flat (R,) / einsum (G, P) f32
+    rows: jax.Array = None       # flat (R,) / einsum (G, P) i32 C rows
+
+
+def _build_fine_streams(cb, src_parts, aval_parts, row_parts, gran,
+                        coarse_parts=None):
+    """Peel the dup-free chunk stream into fine/coarse streams.
+
+    src_parts etc. are lists of flat device arrays (one per dissolved
+    single bucket) — streams that carry EVERY chunk of each of their
+    elements, the precondition for first-chunk fine peeling.
+    coarse_parts carries chunk streams WITHOUT that guarantee (closure-
+    released chunks: an element's chunks can be split between released
+    and colliding) — dup-free per chunk but pinned to the coarse table.
+    Returns (coarse (src, avals, rows) | None, tuple[FineStream]).
+    Plan-time only; everything is cached with the layout."""
+    n_fine = len(FINE_CLASSES)
+    coarse_extra = None
+    if coarse_parts is not None and coarse_parts[0]:
+        coarse_extra = tuple(jnp.concatenate(p) for p in coarse_parts)
+    if not src_parts:
+        if coarse_extra is None:
+            return None, ()
+        cap = gran(int(coarse_extra[0].shape[0]))
+        nc = jnp.int32(cb.nc)
+        return (_pad_rows(coarse_extra[0], cap, nc),
+                _pad_rows(coarse_extra[1], cap, 0),
+                _pad_rows(coarse_extra[2], cap, SENTINEL)), ()
+    src = jnp.concatenate(src_parts)
+    avals = jnp.concatenate(aval_parts)
+    rows = jnp.concatenate(row_parts)
+    key_s, src_s, av_s, row_s, counts = _peel_classify(
+        src, avals, rows, cb.rowof_dev, cb.cptr_dev, cb.fcls_dev)
+    counts_h = np.asarray(counts)                   # D2H (plan, cached)
+    fine_streams = []
+    off = 0
+    for ci in range(n_fine):
+        n = int(counts_h[ci])
+        if n == 0:
+            off += n
+            continue
+        ft = cb.fine[ci]
+        refs = _fine_refs(src_s[off:off + n], cb.rowof_dev, cb.fidx_dev)
+        av_c = av_s[off:off + n]
+        row_c = row_s[off:off + n]
+        off += n
+        stats = _route_stats(refs, av_c, row_c, ROUTE_K, ROUTE_P)
+        g = int(stats[-1])                          # D2H (plan, cached)
+        fill = n / max(1, g * ROUTE_P)
+        if n >= ROUTE_MIN_REFS and fill >= ROUTE_MIN_FILL:
+            block_ids, loc, av_b, row_b = _route_layout(
+                *stats[:-1], g=g, p=ROUTE_P)
+            fine_streams.append(FineStream(
+                mode="einsum", w=ft.w, table=ft.table,
+                block_ids=block_ids, loc=loc, avals=av_b, rows=row_b))
+        else:
+            cap = gran(n)
+            fine_streams.append(FineStream(
+                mode="flat", w=ft.w, table=ft.table,
+                refs=_pad_rows(refs, cap, ft.table.shape[0] - 1),
+                avals=_pad_rows(av_c, cap, 0),
+                rows=_pad_rows(row_c, cap, SENTINEL)))
+    n_coarse = int(counts_h[n_fine])
+    coarse = None
+    c_src, c_av, c_row = [], [], []
+    if n_coarse:
+        c_src.append(src_s[off:off + n_coarse])
+        c_av.append(av_s[off:off + n_coarse])
+        c_row.append(row_s[off:off + n_coarse])
+    if coarse_extra is not None:
+        c_src.append(coarse_extra[0])
+        c_av.append(coarse_extra[1])
+        c_row.append(coarse_extra[2])
+    if c_src:
+        src_c = jnp.concatenate(c_src) if len(c_src) > 1 else c_src[0]
+        av_c = jnp.concatenate(c_av) if len(c_av) > 1 else c_av[0]
+        row_c = jnp.concatenate(c_row) if len(c_row) > 1 else c_row[0]
+        cap = gran(int(src_c.shape[0]))
+        nc = jnp.int32(cb.nc)
+        coarse = (_pad_rows(src_c, cap, nc),
+                  _pad_rows(av_c, cap, 0),
+                  _pad_rows(row_c, cap, SENTINEL))
+    return coarse, tuple(fine_streams)
+
+
+# --------------------------------------------------------------------------
+# Collision-closure split (round 5): a dup-having row only needs the
+# batched sort for the chunks whose products actually collide.  The
+# closure of each duplicate (i,j) group is a set of CHUNKS (group
+# members live in distinct chunks — a chunk is w consecutive elements
+# of one B row, so within-chunk duplicates are impossible); compacting
+# just those chunks into narrow sort segments and releasing the rest to
+# the dup-free flat/fine streams removes most of the sorted volume in
+# near-unique regimes (powerlaw A^2 compression ~1.05: the round-4 plan
+# sorted 90M slots of which only ~2M products collide).
+
+@partial(jax.jit, static_argnames=("m", "w"))
+def _collision_chunk_flags(table, src, m, w):
+    """(R, m) 0/1: does chunk j of each segment hold any colliding key?"""
+    r = src.shape[0]
+    keys = table[src][:, :, :w].reshape(r, m * w)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (r, m * w), 1) // w
+    ks, ps = lax.sort((keys, pos), num_keys=1, dimension=1)
+    dup_r = (ks[:, 1:] == ks[:, :-1]) & (ks[:, 1:] != SENTINEL)
+    z = jnp.zeros((r, 1), jnp.bool_)
+    dup = (jnp.concatenate([z, dup_r], axis=1)
+           | jnp.concatenate([dup_r, z], axis=1)).astype(jnp.int32)
+    _, dup2 = lax.sort((ps, dup), num_keys=1, dimension=1)
+    return jnp.max(dup2.reshape(r, m, w), axis=2)
+
+
+@partial(jax.jit, static_argnames=("m", "w", "n_classes"))
+def _closure_split_bucket(table, src, avals, seg_rows, classes_dev,
+                          m, w, n_classes):
+    """Compact colliding chunks left; classify rows by colliding count.
+
+    Returns (cls (R,) class of colliding width, src_c/av_c (R, m)
+    colliding-first chunk order, flat streams of released chunks
+    (src/aval/row with released=live non-colliding; others dummied),
+    per-class row counts + released count)."""
+    r = src.shape[0]
+    nc = jnp.int32(table.shape[0] - 1)
+    collide = _collision_chunk_flags(table, src, m, w)     # (R, m)
+    live = src != nc
+    ncol = jnp.sum(collide, axis=1)
+    # colliding chunks first within each row; the non-colliding tail is
+    # DUMMIED (it is released to the flat stream — keeping it in the
+    # segment would double-count those products)
+    order_key = 1 - collide
+    _, src_c, av_c = lax.sort(
+        (order_key, src, _f2i(avals)), num_keys=1, dimension=1)
+    iota_m = jax.lax.broadcasted_iota(jnp.int32, (r, m), 1)
+    in_col = iota_m < ncol[:, None]
+    src_c = jnp.where(in_col, src_c, nc)
+    av_c = jnp.where(in_col, av_c, 0)
+    # row class by colliding-chunk count (0 -> released whole)
+    cls = jnp.sum((ncol[:, None] > classes_dev[None, :]).astype(jnp.int32),
+                  axis=1)
+    cls = jnp.where(ncol == 0, n_classes, cls)             # no-collision
+    cls = jnp.where(seg_rows == SENTINEL, n_classes + 1, cls)  # dummy rows
+    counts = jnp.bincount(cls, length=n_classes + 2)
+    # released (non-colliding, live) chunks as a flat stream
+    rel = (collide == 0) & live & (seg_rows != SENTINEL)[:, None]
+    rel_flat = rel.reshape(-1)
+    src_f = jnp.where(rel_flat, src.reshape(-1), nc)
+    av_f = jnp.where(rel_flat, avals.reshape(-1), 0.0)
+    row_f = jnp.where(rel_flat,
+                      jnp.repeat(seg_rows, m), SENTINEL)
+    # released first, dummies last (so the host can slice a prefix)
+    keyr = (~rel_flat).astype(jnp.int32)
+    _, src_f, av_f, row_f = lax.sort(
+        (keyr, src_f, _f2i(av_f), row_f), num_keys=1)
+    nrel = jnp.sum(rel_flat.astype(jnp.int32))
+    stats = jnp.concatenate([counts, nrel[None]])
+    return (cls, src_c, _i2f(av_c),
+            src_f, _i2f(av_f), row_f, stats)
+
+
+def _collision_closure(buckets, table, w, gran):
+    """Split every sort bucket into narrow colliding segments + released
+    dup-free chunk streams.  Returns (new buckets, released stream parts
+    for the peel)."""
+    sort_b = [b for b in buckets if not b.single]
+    if not sort_b:
+        return buckets, [], [], []
+    out = [b for b in buckets if b.single]
+    classes = [c for c in CLASSES]
+    classes_dev = jnp.asarray(classes, jnp.int32)
+    n_classes = len(classes)
+    nc = jnp.int32(table.shape[0] - 1)
+    rel_src, rel_av, rel_row = [], [], []
+    # accumulate per-class rows across source buckets, then merge
+    merged = {}
+    for b in sort_b:
+        (cls, src_c, av_c, src_f, av_f, row_f, stats) = \
+            _closure_split_bucket(table, b.src, b.avals, b.seg_rows,
+                                  classes_dev, b.m, w, n_classes)
+        stats_h = np.asarray(stats)                 # D2H (plan, cached)
+        counts_h, nrel_h = stats_h[:-1], int(stats_h[-1])
+        if nrel_h:
+            rel_src.append(src_f[:nrel_h])
+            rel_av.append(av_f[:nrel_h])
+            rel_row.append(row_f[:nrel_h])
+        # rows sorted by class; payloads ride.  No-collision rows (class
+        # n_classes) emit nothing here: ALL their live chunks are already
+        # in the released stream via the rel mask.
+        order = jnp.argsort(cls, stable=True)
+        src_s = src_c[order]
+        av_s = av_c[order]
+        rows_s = b.seg_rows[order]
+        off = 0
+        for ci in range(n_classes):
+            n = int(counts_h[ci])
+            if n == 0:
+                continue
+            mt = min(classes[ci], b.m)
+            merged.setdefault(mt, []).append(
+                (src_s[off:off + n, :mt], av_s[off:off + n, :mt],
+                 rows_s[off:off + n], b.rounds))
+            off += n
+    for mt, parts in sorted(merged.items()):
+        n_rows = sum(p[0].shape[0] for p in parts)
+        cap = gran(n_rows)
+        src_m = _pad_rows(jnp.concatenate([p[0] for p in parts]), cap, nc)
+        av_m = _pad_rows(jnp.concatenate([p[1] for p in parts]), cap, 0)
+        row_m = _pad_rows(jnp.concatenate([p[2] for p in parts]), cap,
+                          SENTINEL)
+        rounds = max(p[3] for p in parts)
+        out.append(Bucket(m=mt, src=src_m, avals=av_m, seg_rows=row_m,
+                          n_rows=n_rows, single=False, rounds=rounds))
+    return out, rel_src, rel_av, rel_row
+
+
 @jax.jit
 def _weighted_row_len(a_cols, b_rowptr):
     """Product-weighted mean B row length: sum(len_e^2)/sum(len_e) over
@@ -728,13 +1126,49 @@ def build_plan_device(a, b, w: int | None = None,
         win = tuple(jnp.concatenate([p[i] for p in win_parts])
                     for i in range(5))
 
+    # collision-closure split: sort buckets shrink to their truly
+    # colliding chunks; released dup-free chunks join the peel below
+    kept, rel_src, rel_av, rel_row = _collision_closure(
+        kept, cb.table, w, gran)
+
+    # dissolve the dup-free (single) buckets + released closure chunks
+    # into fine routed streams + a coarse chunk-flat remainder (round 5:
+    # the segment structure carries no information for dup-free rows,
+    # and short B-row elements re-fetch at their length class's width
+    # instead of padding to w)
+    coarse = None
+    fine_streams = ()
+    singles = [bk for bk in kept if bk.single]
+    kept = [bk for bk in kept if not bk.single]
+    src_parts = [bk.src.reshape(-1) for bk in singles]
+    av_parts = [bk.avals.reshape(-1) for bk in singles]
+    row_parts = [jnp.repeat(bk.seg_rows, bk.m) for bk in singles]
+    max_fine_len = FINE_CLASSES[-1][1]
+    if w >= max_fine_len:
+        # every fine-class element is a single main chunk, so released
+        # closure chunks satisfy the first-chunk peel precondition too
+        src_parts += rel_src
+        av_parts += rel_av
+        row_parts += rel_row
+        rel_src = []
+        rel_av = []
+        rel_row = []
+    if src_parts or rel_src:
+        # (narrow w only) released closure chunks go coarse-only: their
+        # element's chunk run may be split between released and
+        # colliding, so the first-chunk fine peel cannot apply to them
+        coarse, fine_streams = _build_fine_streams(
+            cb, src_parts, av_parts, row_parts, gran,
+            coarse_parts=(rel_src, rel_av, rel_row))
+
     plan = BinnedPlan(
         buckets=tuple(kept),
         res_src=src_flat[flat_total:],
         res_avals=av_flat[flat_total:],
         res_rows=res_rows, n_res_chunks=res_chunks,
         w=w, n_products=n_products, table=cb.table,
-        win=win, wintab=cb.wintab)
+        win=win, wintab=cb.wintab,
+        coarse=coarse, fine=fine_streams)
     object.__setattr__(a, "_binned_plan_cache",
                        (cache_key, weakref.ref(b), plan))
     return plan
@@ -891,6 +1325,64 @@ def singles_multiply_flat(table, srcs, avals, seg_rows, ms, w):
 
 
 @partial(jax.jit, static_argnames=("w",))
+def coarse_flat_multiply(table, src, avals, rows, w):
+    """Dup-free coarse remainder: one chunk-flat take (per-chunk C rows).
+
+    Same contract as singles_multiply_flat without the concat (the plan
+    pre-concatenated the dissolved single buckets)."""
+    raw = table[src]                                  # (R, 2w)
+    key = raw[:, :w]
+    vals = _i2f(raw[:, w:]) * avals[:, None]
+    first = key != SENTINEL
+    return key, vals, first, rows, jnp.sum(first.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("w",))
+def fine_flat_multiply(ftab, refs, avals, rows, w):
+    """Fine-class flat take: (R,) table-row refs from the f32 fine table.
+
+    Sparse reference streams (fill below ROUTE_MIN_FILL) use this; cols
+    convert back to i32 exactly (< 2^24 by the fine-table gate)."""
+    raw = ftab[refs]                                  # (R, 2w) f32
+    colsf = raw[:, :w]
+    valid = (colsf < FSENT) & (rows != SENTINEL)[:, None]
+    key = jnp.where(valid, colsf.astype(jnp.int32), SENTINEL)
+    vals = raw[:, w:] * avals[:, None]
+    return key, vals, valid, rows, jnp.sum(valid.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("w",))
+def fine_route_multiply(ftab, block_ids, loc, avals, rows, w):
+    """Fine-class einsum routing: fetch aligned ROUTE_K-row slabs (one
+    issue each) and distribute rows to reference slots with an exact
+    one-hot MXU contraction.
+
+    Exactness: the one-hot is exactly representable (bf16 0/1), cols are
+    < 2^24 (f32-exact), values are f32, and precision=HIGHEST makes the
+    f32 contraction exact — each output slot receives exactly one term.
+    Measured 2.2x the per-row gather fast path at uniform-1M density
+    (scripts/probe_route_einsum.py: 13.6 vs 29.1 ms for 4M refs)."""
+    g, p = loc.shape
+    k = ROUTE_K
+    nt = ftab.shape[0]
+    slabs = ftab.reshape(nt // k, k * 2 * w)[block_ids]
+    t = slabs.reshape(g, k, 2 * w)
+    valid_ref = rows != SENTINEL                      # (G, P)
+    oh = ((loc[:, :, None] ==
+           jax.lax.broadcasted_iota(jnp.int32, (1, 1, k), 2))
+          & valid_ref[:, :, None]).astype(jnp.bfloat16)
+    out = jnp.einsum("gpk,gkw->gpw", oh, t,
+                     precision=lax.Precision.HIGHEST)
+    colsf = out[..., :w]
+    valid = (colsf < FSENT) & valid_ref[:, :, None]
+    key = jnp.where(valid, colsf.astype(jnp.int32),
+                    SENTINEL).reshape(g * p, w)
+    vals = (out[..., w:] * avals[:, :, None]).reshape(g * p, w)
+    return (key, vals, valid.reshape(g * p, w), rows.reshape(g * p),
+            jnp.sum(valid.astype(jnp.int32)))
+
+
+@partial(jax.jit, static_argnames=("w",))
 def residual_multiply(table, src, avals, rowids, w):
     """Expand residual chunks and sort globally by (i, j); linear dedup.
 
@@ -968,11 +1460,13 @@ class BinnedStream:
 
 
 @partial(jax.jit, static_argnames=("ms", "singles", "consecs", "rounds_t",
-                                   "w", "vmem_sort", "interpret"))
+                                   "w", "vmem_sort", "interpret",
+                                   "fine_meta"))
 def _binned_multiply_fused(table, srcs, avalss, seg_rowss, res_src,
                            res_avals, res_rows, win, wintab,
+                           coarse, fine_arrays,
                            *, ms, singles, consecs, rounds_t, w,
-                           vmem_sort, interpret):
+                           vmem_sort, interpret, fine_meta):
     """The WHOLE binned multiply as one jitted program.
 
     Dispatch latency through this dev platform's tunnel is ~1-1.5 ms per
@@ -992,6 +1486,26 @@ def _binned_multiply_fused(table, srcs, avalss, seg_rowss, res_src,
     if win is not None:
         k, v, f, rows_pc, cnt = singles_window_multiply(
             wintab, win[0], win[1], win[2], win[3], win[4])
+        keys.append(k)
+        vals.append(v)
+        firsts.append(f)
+        rowids.append(rows_pc)
+        total = total + cnt
+    if coarse is not None:
+        k, v, f, rows_pc, cnt = coarse_flat_multiply(
+            table, coarse[0], coarse[1], coarse[2], w)
+        keys.append(k)
+        vals.append(v)
+        firsts.append(f)
+        rowids.append(rows_pc)
+        total = total + cnt
+    for arrs, (mode, fw) in zip(fine_arrays, fine_meta):
+        if mode == "flat":
+            k, v, f, rows_pc, cnt = fine_flat_multiply(
+                arrs[0], arrs[1], arrs[2], arrs[3], fw)
+        else:
+            k, v, f, rows_pc, cnt = fine_route_multiply(
+                arrs[0], arrs[1], arrs[2], arrs[3], arrs[4], fw)
         keys.append(k)
         vals.append(v)
         firsts.append(f)
@@ -1049,6 +1563,11 @@ def binned_multiply(plan: BinnedPlan, vmem_sort: bool = False,
     CPU tests don't need)."""
     fused = (_binned_multiply_fused.__wrapped__ if interpret
              else _binned_multiply_fused)
+    fine_arrays = tuple(
+        (fs.table, fs.refs, fs.avals, fs.rows) if fs.mode == "flat"
+        else (fs.table, fs.block_ids, fs.loc, fs.avals, fs.rows)
+        for fs in plan.fine)
+    fine_meta = tuple((fs.mode, fs.w) for fs in plan.fine)
     keys, vals, firsts, rowids, res, total = fused(
         plan.table,
         tuple(b.src for b in plan.buckets),
@@ -1056,11 +1575,13 @@ def binned_multiply(plan: BinnedPlan, vmem_sort: bool = False,
         tuple(b.seg_rows for b in plan.buckets),
         plan.res_src, plan.res_avals, plan.res_rows,
         plan.win, plan.wintab if plan.win is not None else None,
+        plan.coarse, fine_arrays,
         ms=tuple(b.m for b in plan.buckets),
         singles=tuple(b.single for b in plan.buckets),
         consecs=tuple(b.consec for b in plan.buckets),
         rounds_t=tuple(b.rounds for b in plan.buckets),
-        w=plan.w, vmem_sort=vmem_sort, interpret=interpret)
+        w=plan.w, vmem_sort=vmem_sort, interpret=interpret,
+        fine_meta=fine_meta)
     return BinnedStream(
         bucket_keys=keys, bucket_vals=vals,
         bucket_first=firsts, bucket_rows=rowids,

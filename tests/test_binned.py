@@ -146,15 +146,16 @@ def test_device_plan_residual():
 
 
 def test_dup_free_split_exact():
-    # the plan must split width classes into sort-free (duplicate-free)
-    # and sort sub-buckets, with measured scan depths, and stay exact on
-    # a hub-heavy matrix where both paths carry real rows
+    # the plan must route duplicate-free products to the sort-free
+    # streams (fine routed tables / coarse chunk-flat remainder) and
+    # keep truly-colliding chunks on narrow sort sub-buckets, staying
+    # exact on a hub-heavy matrix where both paths carry real rows
     coo = power_law(n=3000, nnz=15000, seed=9, hub_correlation=0.3)
     a = coo_to_tiled(coo, dtype=np.float32)
     plan = binned.build_plan_device(a, a)
-    frees = [b for b in plan.buckets if b.single and b.m > 1]
     dups = [b for b in plan.buckets if not b.single]
-    assert frees, "no multi-chunk sort-free sub-bucket was split out"
+    assert plan.fine or plan.coarse is not None, \
+        "no dup-free stream (fine/coarse) was split out"
     assert dups, "no sort-path bucket survived (test matrix too easy)"
     assert all(b.rounds >= 1 for b in dups)
     stream = binned.binned_multiply(plan)
