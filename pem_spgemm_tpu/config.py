@@ -82,13 +82,15 @@ class SpGEMMConfig:
 
     # Route the binned element engine's sort-path buckets through the
     # VMEM-resident Pallas sort+dedup kernel (ops/pallas_sort.py).
-    # MEASURED SLOWER on v5e (round 3, scripts/bench_vmem_sort.py on the
-    # powerlaw plan): 0.6-0.7x lax.sort on every large bucket (m*w ==
-    # 768-2048) — the bitonic network's ~log2(P)^2/2 roll+select substeps
-    # at VPU speed lose to XLA's sort despite staying VMEM-resident.
-    # Kept as an option (hardware-exact, tested) for future lane-shuffle
-    # primitives; default off.
-    element_vmem_sort: bool = False
+    # Round 3 measured the FULL bitonic network 0.6-0.7x lax.sort on
+    # large buckets; round 5's MERGE-ONLY network (segments are m
+    # already-sorted chunks, so the intra-run stages are skipped —
+    # segment_sort_dedup presorted_w) flips it: 1.3-1.4x FASTER than
+    # lax.sort end-to-end at every class width on v5e
+    # (scripts/probe_vmem_merge.py, m=2..32 at w=64).  Default on;
+    # CPU still runs the XLA sort path (interpret-mode Pallas is for
+    # tests only).
+    element_vmem_sort: bool = True
 
     # "auto" picks the element engine when the mean nnz-per-occupied-tile
     # of both operands is below this; above it (but under the macro

@@ -55,6 +55,8 @@ from jax import lax
 SENTINEL = jnp.int32(0x7FFFFFFF)
 W = 32                      # slots per chunk
 MAX_CHUNKS = 4096           # widest bucket (131072 slots); beyond -> residual
+VMEM_SORT_MAX = 4096        # widest segment (slots) routed through the
+                            # Pallas merge-only sort when vmem_sort is on
 # --- fine routed tables (round 5): short B rows get per-length-class
 # tables at narrow widths, cutting the dominant chunk-tail padding (the
 # round-4 powerlaw plan padded 45M products to 166M slots, 3.7x, mostly
@@ -1228,16 +1230,29 @@ def bucket_multiply_vmem(table, src, avals, m, w, rounds=0,
     """bucket_multiply with the sort+dedup stage in one VMEM-resident
     Pallas pass (ops/pallas_sort.segment_sort_dedup): HBM sees each slot
     once in, once out; the bitonic substeps run at VPU speed instead of
-    paying lax.sort's per-substep HBM traffic.  Same contract."""
+    paying lax.sort's per-substep HBM traffic.  Same contract.
+
+    The segment is m ALREADY-SORTED w-runs (chunks are ascending B-row
+    slices), so the kernel runs merge phases only: odd chunks are
+    lane-reversed here (fused into the take's elementwise chain) to
+    establish the bitonic alternating-direction invariant, and the
+    intra-run sort stages are skipped (presorted_w=w)."""
     from pem_spgemm_tpu.ops.pallas_sort import segment_sort_dedup
     r = src.shape[0]
     raw = table[src]
-    cols = raw[:, :, :w].reshape(r, m * w)
-    bvals = _i2f(raw[:, :, w:]).reshape(r, m * w)
-    vals = bvals * jnp.repeat(avals, w, axis=1)
+    cols = raw[:, :, :w]
+    bvals = _i2f(raw[:, :, w:])
+    if m > 1:
+        odd = (jax.lax.broadcasted_iota(jnp.int32, (1, m, 1), 1)
+               & 1) == 1
+        cols = jnp.where(odd, cols[:, :, ::-1], cols)
+        bvals = jnp.where(odd, bvals[:, :, ::-1], bvals)
+    cols = cols.reshape(r, m * w)
+    vals = bvals.reshape(r, m * w) * jnp.repeat(avals, w, axis=1)
     n_rounds = rounds or (_ceil_log2(m) + 1 if m > 1 else 1)
     key, v, first = segment_sort_dedup(cols, vals, rounds=n_rounds,
-                                       interpret=interpret)
+                                       interpret=interpret,
+                                       presorted_w=w)
     return key, v, first, jnp.sum(first.astype(jnp.int32))
 
 
@@ -1527,7 +1542,13 @@ def _binned_multiply_fused(table, srcs, avalss, seg_rowss, res_src,
     for i, s in enumerate(singles):
         if s:
             continue
-        if vmem_sort:
+        if vmem_sort and ms[i] * w <= VMEM_SORT_MAX:
+            # Pallas merge-only network: measured 1.3-1.4x lax.sort up
+            # to L=2048 (scripts/probe_vmem_merge.py); beyond
+            # VMEM_SORT_MAX the substep saving fades (merge phases
+            # approach the full network as L grows) while the Mosaic
+            # compile of the unrolled wide kernel costs tens of
+            # minutes through this platform's remote compile service.
             k, v, f, cnt = bucket_multiply_vmem(
                 table, srcs[i], avalss[i], ms[i], w, rounds_t[i],
                 interpret)

@@ -36,7 +36,7 @@ VMEM_ELEMS = 1 << 19        # target live elements per grid step
 
 
 def _kernel(cols_ref, vals_ref, keys_out, vals_out, first_out,
-            *, mw, p2, rounds):
+            *, mw, p2, rounds, presorted_w=0):
     k = cols_ref[:]
     v = vals_ref[:]
     rb = k.shape[0]
@@ -45,9 +45,18 @@ def _kernel(cols_ref, vals_ref, keys_out, vals_out, first_out,
         v = jnp.pad(v, ((0, 0), (0, p2 - mw)))
     idx = jax.lax.broadcasted_iota(jnp.int32, (rb, p2), 1)
 
-    # bitonic sort, ascending; SENTINEL padding sorts last
+    # bitonic sort, ascending; SENTINEL padding sorts last.
+    # presorted_w > 0 runs the MERGE phases only: the caller guarantees
+    # every presorted_w-lane run is sorted, run c ascending iff c is
+    # even (the binned engine's chunks are ascending B-row slices with
+    # odd chunks lane-reversed at the take) — exactly the bitonic
+    # invariant after stage log2(presorted_w), so those stages are
+    # skipped.  Sentinel pad runs are constant, hence sorted either
+    # way.  Cuts the substep count 1.4x (wide) .. 4x (two-chunk
+    # segments).
     n_stages = int(np.log2(p2))
-    for stage in range(1, n_stages + 1):
+    first_stage = 1 + int(np.log2(presorted_w)) if presorted_w else 1
+    for stage in range(first_stage, n_stages + 1):
         asc = (idx & (1 << stage)) == 0 if stage < n_stages \
             else jnp.ones_like(idx, jnp.bool_)
         for sub in reversed(range(stage)):
@@ -89,14 +98,23 @@ def _kernel(cols_ref, vals_ref, keys_out, vals_out, first_out,
     first_out[:] = first[:, :mw].astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("rounds", "interpret"))
-def segment_sort_dedup(cols, vals, *, rounds, interpret=False):
+@functools.partial(jax.jit, static_argnames=("rounds", "interpret",
+                                             "presorted_w"))
+def segment_sort_dedup(cols, vals, *, rounds, interpret=False,
+                       presorted_w=0):
     """(keys, vals, first) with the bucket_multiply sort+dedup contract.
 
     cols/vals: (R, MW); every row is one independent segment.  rounds
     bounds the dedup scan depth (ceil_log2 of the max duplicate run).
+    presorted_w: run the bitonic MERGE phases only — every
+    presorted_w-lane run of the input must be sorted, odd runs
+    descending (see _kernel); requires mw % presorted_w == 0 and
+    presorted_w a power of two.
     """
     r, mw = cols.shape
+    if presorted_w:
+        assert mw % presorted_w == 0 and \
+            presorted_w & (presorted_w - 1) == 0, (mw, presorted_w)
     p2 = 1 << max(1, int(np.ceil(np.log2(mw))))
     rb = min(max(8, VMEM_ELEMS // p2), r)
     # pad R to a multiple of the block height
@@ -106,7 +124,8 @@ def segment_sort_dedup(cols, vals, *, rounds, interpret=False):
         cols = jnp.pad(cols, ((0, r_pad - r), (0, 0)),
                        constant_values=SENTINEL)
         vals = jnp.pad(vals, ((0, r_pad - r), (0, 0)))
-    kernel = functools.partial(_kernel, mw=mw, p2=p2, rounds=rounds)
+    kernel = functools.partial(_kernel, mw=mw, p2=p2, rounds=rounds,
+                               presorted_w=presorted_w)
     keys, out_vals, first = pl.pallas_call(
         kernel,
         grid=(g,),

@@ -62,21 +62,22 @@ def main():
           f"fine=[{','.join(fine_desc)}] TOTAL={tot} "
           f"(pad {tot/max(1,plan.n_products):.2f}x)", flush=True)
 
-    out = binned.binned_multiply(plan)
+    vmem = "--vmem" in sys.argv
+    out = binned.binned_multiply(plan, vmem_sort=vmem)
     force_sync(out.c_nnz)
-    print(f"c_nnz={int(out.c_nnz)}", flush=True)
+    print(f"c_nnz={int(out.c_nnz)} (vmem_sort={vmem})", flush=True)
     # steady (per-iteration sync)
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
-        out = binned.binned_multiply(plan)
+        out = binned.binned_multiply(plan, vmem_sort=vmem)
         force_sync(out.c_nnz)
         ts.append(time.perf_counter() - t0)
     print(f"steady (sync'd): {min(ts)*1e3:.1f} ms", flush=True)
     # pipelined
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = binned.binned_multiply(plan)
+        out = binned.binned_multiply(plan, vmem_sort=vmem)
     force_sync(out.c_nnz)
     dt = (time.perf_counter() - t0) / reps * 1e3
     gf = 2 * plan.n_products / (dt / 1e3) / 1e9
