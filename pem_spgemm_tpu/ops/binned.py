@@ -340,6 +340,9 @@ class BinnedPlan:
     # streams (FineStream)
     coarse: Optional[tuple] = None
     fine: tuple = ()
+    # packed collision segments (device plan only, round 5): sort-path
+    # buckets re-materialized as element-exact per-class arrays
+    packed: tuple = ()      # tuple[PackedBucket]
 
     def run(self):
         """One overflow-free dispatch set: see binned_multiply."""
@@ -977,6 +980,146 @@ def _collision_closure(buckets, table, w, gran):
     return out, rel_src, rel_av, rel_row
 
 
+# --------------------------------------------------------------------------
+# Packed collision segments (round 5): the chunk-granular sort buckets
+# still pad every colliding chunk to w slots and re-fetch it from the
+# table each iteration.  Both costs are plan-removable: the plan
+# MATERIALIZES each segment's valid slots — (j, B-value bits, A-value
+# bits) packed contiguously — into per-class arrays, so the steady
+# multiply is value-multiply + per-segment sort + dedup over the
+# element-EXACT volume with no take at all (the round-5 powerlaw plan
+# sorted 42M chunk-padded slots for ~25M live elements; rmat 172M for
+# ~115M).  The numeric work (a*b products, sort, dedup) stays
+# per-iteration — the arrays are a structure-plus-values LAYOUT, the
+# same amortization class as the reference's converted tiled formats.
+
+@dataclasses.dataclass(frozen=True)
+class PackedBucket:
+    """One width class of plan-materialized colliding segments."""
+
+    l: int                  # slots per segment
+    keys: jax.Array         # (R, l) i32 j keys, SENTINEL padding
+    bbits: jax.Array        # (R, l) i32 B value bits
+    abits: jax.Array        # (R, l) i32 A value bits
+    seg_rows: jax.Array     # (R,) i32 C row per segment
+    n_rows: int
+    rounds: int             # dedup-scan depth bound
+
+
+@partial(jax.jit, static_argnames=("m", "w", "n_cls"))
+def _pack_bucket(table, src, avals, seg_rows, pclasses_dev, m, w, n_cls):
+    """Pack each segment's valid slots left; classify rows by count.
+
+    One plan-time stable per-row sort moves valid slots to the front
+    (payloads: key, B bits, broadcast A bits); rows are then classified
+    by live-slot count against the pow2 pack classes.  Returns the
+    packed (R, m*w) streams + per-row class + per-class counts."""
+    r = src.shape[0]
+    raw = table[src]                                  # (R, m, 2w)
+    keys = raw[:, :, :w].reshape(r, m * w)
+    bb = raw[:, :, w:].reshape(r, m * w)
+    ab = jnp.broadcast_to(_f2i(avals)[:, :, None],
+                          (r, m, w)).reshape(r, m * w)
+    invalid = (keys == SENTINEL).astype(jnp.int32)
+    _, key_s, bb_s, ab_s = lax.sort((invalid, keys, bb, ab),
+                                    num_keys=1, dimension=1)
+    cnt = jnp.sum(1 - invalid, axis=1)
+    cnt = jnp.where(seg_rows == SENTINEL, 0, cnt)
+    cls = jnp.sum((cnt[:, None] > pclasses_dev[None, :])
+                  .astype(jnp.int32), axis=1)
+    cls = jnp.where(cnt == 0, n_cls, cls)             # dummies drop
+    order = jnp.argsort(cls, stable=True)
+    counts = jnp.bincount(cls, length=n_cls + 1)
+    return (key_s[order], bb_s[order], ab_s[order], seg_rows[order],
+            counts)
+
+
+PACK_CLASSES = [2, 4, 8, 16, 32, 48, 64, 96, 128, 192, 256, 384, 512,
+                768, 1024, 1536, 2048, 3072, 4096, 6144, 8192, 12288,
+                16384, 24576, 32768, 49152, 65536, 98304, 131072,
+                196608, 262144]
+
+
+def _pack_sort_buckets(sort_b, table, w, gran):
+    """Materialize every sort bucket's segments as packed per-class
+    arrays; same-width classes merge across source buckets.  Plan-time
+    only (one D2H of class counts per bucket)."""
+    if not sort_b:
+        return ()
+    merged = {}                                       # l -> [parts]
+    for b in sort_b:
+        mw = b.m * w
+        pcls = [c for c in PACK_CLASSES if c < mw] + [mw]
+        pcls_dev = jnp.asarray(pcls, jnp.int32)
+        key_s, bb_s, ab_s, row_s, counts = _pack_bucket(
+            table, b.src, b.avals, b.seg_rows, pcls_dev, b.m, w,
+            len(pcls))
+        counts_h = np.asarray(counts)                 # D2H (plan, cached)
+        off = 0
+        for ci, lc in enumerate(pcls):
+            n = int(counts_h[ci])
+            if n == 0:
+                continue
+            merged.setdefault(lc, []).append(
+                (key_s[off:off + n, :lc], bb_s[off:off + n, :lc],
+                 ab_s[off:off + n, :lc], row_s[off:off + n], b.rounds))
+            off += n
+    out = []
+    for lc, parts in sorted(merged.items()):
+        n_rows = sum(p[0].shape[0] for p in parts)
+        cap = gran(n_rows)
+        cat = (lambda i: jnp.concatenate([p[i] for p in parts])
+               if len(parts) > 1 else parts[0][i])
+        keys = _pad_rows(cat(0), cap, SENTINEL)
+        bbits = _pad_rows(cat(1), cap, 0)
+        abits = _pad_rows(cat(2), cap, 0)
+        rows = _pad_rows(cat(3), cap, SENTINEL)
+        rounds = max(p[4] for p in parts)
+        out.append(PackedBucket(l=lc, keys=keys, bbits=bbits,
+                                abits=abits, seg_rows=rows,
+                                n_rows=n_rows, rounds=rounds))
+    return tuple(out)
+
+
+def _dedup_tail(key, vals, n_rounds, l):
+    """Group totals at first slots over per-row sorted keys (shared by
+    bucket_multiply and packed_multiply): first-flags + a reversed
+    segmented shifted-add scan of depth n_rounds."""
+    r = key.shape[0]
+    valid = key != SENTINEL
+    first = valid & jnp.concatenate(
+        [jnp.ones((r, 1), jnp.bool_), key[:, 1:] != key[:, :-1]], axis=1)
+    last = jnp.concatenate(
+        [key[:, 1:] != key[:, :-1], jnp.ones((r, 1), jnp.bool_)], axis=1)
+    f = last[:, ::-1]
+    s = vals[:, ::-1]
+    for rd in range(n_rounds):
+        sh = 1 << rd
+        if sh >= l:
+            break
+        s_sh = jnp.pad(s, ((0, 0), (sh, 0)))[:, :-sh]
+        f_sh = jnp.pad(f, ((0, 0), (sh, 0)),
+                       constant_values=True)[:, :-sh]
+        s = s + jnp.where(f, 0.0, s_sh)
+        f = f | f_sh
+    vals = s[:, ::-1]
+    count = jnp.sum(first.astype(jnp.int32))
+    return vals, first, count
+
+
+@partial(jax.jit, static_argnames=("rounds",))
+def packed_multiply(keys, bbits, abits, seg_rows, rounds):
+    """Sort + dedup one packed collision class: value multiply (the
+    per-iteration numeric work), per-segment sort, group reduction.
+    Contract matches bucket_multiply (keys/vals/first (R, l), count)."""
+    r, l = keys.shape
+    vals = _i2f(bbits) * _i2f(abits)
+    key, vals = lax.sort((keys, vals), num_keys=1, dimension=1)
+    n_rounds = rounds or (_ceil_log2(l) + 1)
+    vals, first, count = _dedup_tail(key, vals, n_rounds, l)
+    return key, vals, first, count
+
+
 @jax.jit
 def _weighted_row_len(a_cols, b_rowptr):
     """Product-weighted mean B row length: sum(len_e^2)/sum(len_e) over
@@ -1016,7 +1159,7 @@ def pick_w(a, b, w_max: int = 64) -> int:
 
 def build_plan_device(a, b, w: int | None = None,
                       max_chunks: int = MAX_CHUNKS,
-                      row_cap_gran=None) -> BinnedPlan:
+                      row_cap_gran=None, pack: bool = True) -> BinnedPlan:
     """Device-side binning: one small D2H between two jitted phases.
 
     The LAYOUT (bucket tables, residual stream, row-id tables) is a pure
@@ -1042,7 +1185,7 @@ def build_plan_device(a, b, w: int | None = None,
         a_rowptr, a_cols, cb.lens_dev, classes_dev, w, n_base)
 
     # weakref to b, not id(b): dead ids are reusable (ADVICE round 3)
-    cache_key = (w, max_chunks, row_cap_gran)
+    cache_key = (w, max_chunks, row_cap_gran, pack)
     cached = getattr(a, "_binned_plan_cache", None)
 
     stats_h = np.asarray(stats)                 # the one D2H
@@ -1133,6 +1276,15 @@ def build_plan_device(a, b, w: int | None = None,
     kept, rel_src, rel_av, rel_row = _collision_closure(
         kept, cb.table, w, gran)
 
+    # packed collision segments: materialize the surviving sort
+    # buckets' valid slots as element-exact per-class arrays (no
+    # per-iteration take, no chunk-tail padding in the sort)
+    packed = ()
+    if pack:
+        packed = _pack_sort_buckets(
+            [bk for bk in kept if not bk.single], cb.table, w, gran)
+        kept = [bk for bk in kept if bk.single]
+
     # dissolve the dup-free (single) buckets + released closure chunks
     # into fine routed streams + a coarse chunk-flat remainder (round 5:
     # the segment structure carries no information for dup-free rows,
@@ -1170,7 +1322,7 @@ def build_plan_device(a, b, w: int | None = None,
         res_rows=res_rows, n_res_chunks=res_chunks,
         w=w, n_products=n_products, table=cb.table,
         win=win, wintab=cb.wintab,
-        coarse=coarse, fine=fine_streams)
+        coarse=coarse, fine=fine_streams, packed=packed)
     object.__setattr__(a, "_binned_plan_cache",
                        (cache_key, weakref.ref(b), plan))
     return plan
@@ -1476,12 +1628,13 @@ class BinnedStream:
 
 @partial(jax.jit, static_argnames=("ms", "singles", "consecs", "rounds_t",
                                    "w", "vmem_sort", "interpret",
-                                   "fine_meta"))
+                                   "fine_meta", "packed_rounds"))
 def _binned_multiply_fused(table, srcs, avalss, seg_rowss, res_src,
                            res_avals, res_rows, win, wintab,
-                           coarse, fine_arrays,
+                           coarse, fine_arrays, packed_arrays,
                            *, ms, singles, consecs, rounds_t, w,
-                           vmem_sort, interpret, fine_meta):
+                           vmem_sort, interpret, fine_meta,
+                           packed_rounds):
     """The WHOLE binned multiply as one jitted program.
 
     Dispatch latency through this dev platform's tunnel is ~1-1.5 ms per
@@ -1525,6 +1678,14 @@ def _binned_multiply_fused(table, srcs, avalss, seg_rowss, res_src,
         vals.append(v)
         firsts.append(f)
         rowids.append(rows_pc)
+        total = total + cnt
+    for arrs, rnd in zip(packed_arrays, packed_rounds):
+        k, v, f, cnt = packed_multiply(arrs[0], arrs[1], arrs[2],
+                                       arrs[3], rnd)
+        keys.append(k)
+        vals.append(v)
+        firsts.append(f)
+        rowids.append(arrs[3])
         total = total + cnt
     single_idx = tuple(i for i, s in enumerate(singles) if s)
     if single_idx:
@@ -1589,6 +1750,9 @@ def binned_multiply(plan: BinnedPlan, vmem_sort: bool = False,
         else (fs.table, fs.block_ids, fs.loc, fs.avals, fs.rows)
         for fs in plan.fine)
     fine_meta = tuple((fs.mode, fs.w) for fs in plan.fine)
+    packed_arrays = tuple((p.keys, p.bbits, p.abits, p.seg_rows)
+                          for p in plan.packed)
+    packed_rounds = tuple(p.rounds for p in plan.packed)
     keys, vals, firsts, rowids, res, total = fused(
         plan.table,
         tuple(b.src for b in plan.buckets),
@@ -1596,13 +1760,13 @@ def binned_multiply(plan: BinnedPlan, vmem_sort: bool = False,
         tuple(b.seg_rows for b in plan.buckets),
         plan.res_src, plan.res_avals, plan.res_rows,
         plan.win, plan.wintab if plan.win is not None else None,
-        plan.coarse, fine_arrays,
+        plan.coarse, fine_arrays, packed_arrays,
         ms=tuple(b.m for b in plan.buckets),
         singles=tuple(b.single for b in plan.buckets),
         consecs=tuple(b.consec for b in plan.buckets),
         rounds_t=tuple(b.rounds for b in plan.buckets),
         w=plan.w, vmem_sort=vmem_sort, interpret=interpret,
-        fine_meta=fine_meta)
+        fine_meta=fine_meta, packed_rounds=packed_rounds)
     return BinnedStream(
         bucket_keys=keys, bucket_vals=vals,
         bucket_first=firsts, bucket_rows=rowids,

@@ -55,9 +55,14 @@ def main():
              else fs.block_ids.shape[0] * binned.ROUTE_P)
         fine_slots += n * fs.w
         fine_desc.append(f"{fs.mode}w{fs.w}:{n * fs.w}")
+    packed_slots = sum(p.keys.shape[0] * p.l for p in plan.packed)
+    packed_desc = ",".join(f"L{p.l}:{p.keys.shape[0]}"
+                           for p in plan.packed)
     tot = (sort_slots + single_slots + win_slots + coarse_slots
-           + fine_slots + plan.res_src.shape[0] * plan.w)
-    print(f"slots: sort={sort_slots} single={single_slots} "
+           + fine_slots + packed_slots
+           + plan.res_src.shape[0] * plan.w)
+    print(f"slots: sort={sort_slots} packed={packed_slots} "
+          f"[{packed_desc}] single={single_slots} "
           f"win={win_slots} coarse={coarse_slots} "
           f"fine=[{','.join(fine_desc)}] TOTAL={tot} "
           f"(pad {tot/max(1,plan.n_products):.2f}x)", flush=True)

@@ -153,11 +153,11 @@ def test_dup_free_split_exact():
     coo = power_law(n=3000, nnz=15000, seed=9, hub_correlation=0.3)
     a = coo_to_tiled(coo, dtype=np.float32)
     plan = binned.build_plan_device(a, a)
-    dups = [b for b in plan.buckets if not b.single]
     assert plan.fine or plan.coarse is not None, \
         "no dup-free stream (fine/coarse) was split out"
-    assert dups, "no sort-path bucket survived (test matrix too easy)"
-    assert all(b.rounds >= 1 for b in dups)
+    assert plan.packed, \
+        "no packed collision class survived (test matrix too easy)"
+    assert all(p.rounds >= 1 for p in plan.packed)
     stream = binned.binned_multiply(plan)
     stream.c_nnz = int(stream.c_nnz)
     s = coo.to_scipy().tocsr()
@@ -177,7 +177,8 @@ def test_vmem_sort_matches_xla_path():
     # tolerance in values, across ragged widths (m=3 -> non-pow2 rows)
     coo = power_law(n=2500, nnz=12000, seed=4, hub_correlation=0.25)
     a = coo_to_tiled(coo, dtype=np.float32)
-    plan = binned.build_plan_device(a, a)
+    # pack=False keeps the chunk-granular sort buckets this test drives
+    plan = binned.build_plan_device(a, a, pack=False)
     checked = 0
     for b in plan.buckets:
         if b.single:
@@ -260,3 +261,28 @@ def test_window_singles_path_exact():
     np.testing.assert_array_equal(c, wc.col[order])
     np.testing.assert_allclose(v, wc.data[order].astype(np.float32),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_packed_collision_exact():
+    # the packed collision classes (plan-materialized element-exact
+    # sort segments) must reproduce the chunk-granular sort path's
+    # result exactly (same C structure, fp-tolerant values)
+    coo = power_law(n=3000, nnz=18000, seed=21, hub_correlation=0.35)
+    a = coo_to_tiled(coo, dtype=np.float32)
+    p1 = binned.build_plan_device(a, a)
+    p0 = binned.build_plan_device(a, a, pack=False)
+    assert p1.packed, "packing produced no classes"
+    assert not [b for b in p1.buckets if not b.single]
+    s = coo.to_scipy().tocsr()
+    want = (s @ s).tocoo()
+    want.sum_duplicates()
+    for plan in (p0, p1):
+        st = binned.binned_multiply(plan)
+        st.c_nnz = int(st.c_nnz)
+        assert st.c_nnz == want.nnz
+        r, c, v = st.to_coo_arrays()
+        order = np.lexsort((want.col, want.row))
+        np.testing.assert_array_equal(r, want.row[order])
+        np.testing.assert_array_equal(c, want.col[order])
+        np.testing.assert_allclose(v, want.data[order], rtol=1e-5,
+                                   atol=1e-6)
