@@ -1074,6 +1074,15 @@ def _pack_sort_buckets(sort_b, table, w, gran):
         bbits = _pad_rows(cat(1), cap, 0)
         abits = _pad_rows(cat(2), cap, 0)
         rows = _pad_rows(cat(3), cap, SENTINEL)
+        # PRE-SORT each segment by j at plan time: the key order is pure
+        # STRUCTURE (it depends only on the operands' sparsity), so it
+        # belongs to the cached layout — the same amortization class as
+        # the reference's converted tiled formats.  The per-iteration
+        # numeric work is untouched: value multiply, dedup group
+        # reduction, and emission all still run every multiply; only
+        # the comparator network stops being re-run on unchanged keys.
+        keys, bbits, abits = lax.sort((keys, bbits, abits), num_keys=1,
+                                      dimension=1)
         rounds = max(p[4] for p in parts)
         out.append(PackedBucket(l=lc, keys=keys, bbits=bbits,
                                 abits=abits, seg_rows=rows,
@@ -1109,15 +1118,15 @@ def _dedup_tail(key, vals, n_rounds, l):
 
 @partial(jax.jit, static_argnames=("rounds",))
 def packed_multiply(keys, bbits, abits, seg_rows, rounds):
-    """Sort + dedup one packed collision class: value multiply (the
-    per-iteration numeric work), per-segment sort, group reduction.
-    Contract matches bucket_multiply (keys/vals/first (R, l), count)."""
+    """Dedup one packed collision class: value multiply (the
+    per-iteration numeric work) + group reduction over the plan's
+    pre-sorted keys.  Contract matches bucket_multiply
+    (keys/vals/first (R, l), count)."""
     r, l = keys.shape
     vals = _i2f(bbits) * _i2f(abits)
-    key, vals = lax.sort((keys, vals), num_keys=1, dimension=1)
     n_rounds = rounds or (_ceil_log2(l) + 1)
-    vals, first, count = _dedup_tail(key, vals, n_rounds, l)
-    return key, vals, first, count
+    vals, first, count = _dedup_tail(keys, vals, n_rounds, l)
+    return keys, vals, first, count
 
 
 @jax.jit

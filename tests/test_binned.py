@@ -125,7 +125,10 @@ def test_device_plan_matches_host_plan():
     dr, dc, dv = ds.to_coo_arrays()
     np.testing.assert_array_equal(dr, hr)
     np.testing.assert_array_equal(dc, hc)
-    np.testing.assert_allclose(dv, hv, rtol=1e-6)
+    # duplicate groups sum in different member order on the two paths
+    # (the device plan pre-sorts packed segments with value-bit
+    # payloads): fp-tolerant, not bit-equal
+    np.testing.assert_allclose(dv, hv, rtol=1e-5, atol=1e-6)
 
 
 def test_device_plan_residual():
